@@ -1,0 +1,15 @@
+from .sales_etl import (
+    clean_valid_sales,
+    categorize_invalid_sales,
+    categorize_invalid_sales_single_pass,
+    monthly_summary,
+    format_dates_for_sink,
+)
+
+__all__ = [
+    "clean_valid_sales",
+    "categorize_invalid_sales",
+    "categorize_invalid_sales_single_pass",
+    "monthly_summary",
+    "format_dates_for_sink",
+]
