@@ -1,0 +1,143 @@
+"""Per-operator unit tests covering the reference's verified quirks
+(SURVEY.md section 5.2 item 2): no-dash split, na=False predicates,
+'nan' stringification, currency normalize ties, union duplicate
+retention, keep-first determinism, coercing parses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_sales_pandas_sqlserver_spark.operators import (
+    dates,
+    dedup,
+    nulls,
+    numeric,
+    setops,
+    strings,
+)
+
+
+def _one(spark, expr, **cols):
+    schema = ", ".join(f"{k} string" for k in cols)
+    df = spark.createDataFrame([tuple(cols.values())], schema)
+    return df.select(expr.alias("v")).first()["v"]
+
+
+def test_split_last_no_dash_keeps_whole_string(spark):
+    assert _one(spark, strings.split_last("x"), x="ABC-D") == "D"
+    assert _one(spark, strings.split_last("x"), x="PLAIN") == "PLAIN"
+    assert _one(spark, strings.split_last("x"), x="A-B-C") == "C"
+    assert _one(spark, strings.split_last(F.col("x")), x=None) is None
+
+
+def test_strip_tokens_chained_literal_replace(spark):
+    assert _one(spark, strings.strip_tokens("x"), x="12.5 USD") == "12.5 "
+    assert _one(spark, strings.strip_tokens("x"), x="3.4EUR") == "3.4"
+    assert _one(spark, strings.strip_tokens("x"), x="9.9") == "9.9"
+
+
+def test_contains_any_null_is_false(spark):
+    # pandas str.contains(na=False): NULL input -> False, not NULL
+    assert _one(spark, strings.contains_any(F.col("x")), x=None) is False
+    assert _one(spark, strings.contains_any("x"), x="5 USD") is True
+    assert _one(spark, strings.contains_any("x"), x="5") is False
+
+
+def test_ends_with_null_is_false(spark):
+    assert _one(spark, strings.ends_with(F.col("x"), "EUR"), x=None) is False
+    assert _one(spark, strings.ends_with("x", "EUR"), x="5 EUR") is True
+
+
+def test_cast_str_nan_quirk(spark):
+    # pandas astype(str) turns NaN into 'nan' (golden: Product='NAN')
+    assert _one(spark, strings.upper(strings.cast_str_nan(F.col("x"))), x=None) == "NAN"
+
+
+def test_normalize_currency_decimal_half_even_tie(spark):
+    # 16577.10 * 0.85 = 14090.535 exactly: half-even at 2dp -> 14090.54
+    v = _one(spark, numeric.normalize_currency("x"), x="16577.10 EUR")
+    assert v == 14090.54
+    # 77550.10 * 0.85 = 65917.585: half-even -> 65917.58 (8 even)
+    v = _one(spark, numeric.normalize_currency("x"), x="77550.10 EUR")
+    assert v == 65917.58
+
+
+def test_normalize_currency_float_parity_matches_pandas(spark):
+    # pandas: (16577.1*0.85).round(2) on binary doubles -> 14090.53
+    v = _one(spark, numeric.normalize_currency("x", float_parity=True), x="16577.10 EUR")
+    assert v == 14090.53
+
+
+def test_normalize_currency_bare_and_garbage(spark):
+    # bare numeric parses fine (the valid/invalid overlap, SURVEY 1.5)
+    assert _one(spark, numeric.normalize_currency("x"), x="224.12") == 224.12
+    # garbage -> NULL (engine cast-to-null semantic, ANSI-safe)
+    assert _one(spark, numeric.normalize_currency("x"), x="12,34 USD") is None
+    assert _one(spark, numeric.normalize_currency("x"), x="100 USD") == 100.0
+
+
+def test_any_null_predicate(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None), (None, 3)], ["x", "y"]
+    )
+    got = df.filter(nulls.any_null(["x", "y"])).count()
+    assert got == 2
+
+
+def test_dedup_keep_first_deterministic(spark):
+    df = spark.createDataFrame(
+        [("k1", "2025-01-01", "first"), ("k1", "2025-02-01", "second"),
+         ("k2", "2025-01-01", "only")],
+        ["k", "ord", "tag"],
+    )
+    out = dedup.dedup_keep_first(df, ["k"], [F.col("ord").asc()])
+    rows = {r["k"]: r["tag"] for r in out.collect()}
+    assert rows == {"k1": "first", "k2": "only"}
+
+
+def test_flag_dup_groups_marks_all_members(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["k"])
+    out = dedup.rows_in_dup_groups(df, ["k"])
+    assert out.count() == 2
+    assert {r["k"] for r in out.collect()} == {"a"}
+
+
+def test_union_by_name_null_fills_and_keeps_duplicates(spark):
+    a = spark.createDataFrame([(1, "x"), (1, "x")], ["id", "name"])
+    b = spark.createDataFrame([(2, 9)], ["id", "extra"])
+    out = setops.union_by_name([a, b])
+    assert set(out.columns) == {"id", "name", "extra"}
+    rows = out.collect()
+    assert len(rows) == 3  # duplicates preserved
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[2]["name"] is None and by_id[1]["extra"] is None
+
+
+def test_to_timestamp_coerce(spark):
+    assert _one(spark, dates.to_timestamp_coerce(F.col("x")), x="not-a-date") is None
+    v = _one(spark, dates.to_timestamp_coerce(F.col("x")), x="2025-03-01")
+    assert v is not None and v.year == 2025
+    # explicit format fallback chain
+    v = _one(
+        spark,
+        dates.to_timestamp_coerce(F.col("x"), formats=("dd/MM/yyyy",)),
+        x="01/03/2025",
+    )
+    assert v is not None and v.month == 3
+
+
+def test_month_key_and_iso_date(spark):
+    df = spark.createDataFrame([("2024-09-22",)], ["d"])
+    out = df.select(
+        dates.month_key(dates.to_timestamp_coerce("d")).alias("m"),
+        dates.iso_date(dates.to_timestamp_coerce("d")).alias("i"),
+    ).first()
+    assert out["m"] == "09/2024" and out["i"] == "2024-09-22"
+
+
+def test_bround_is_half_even(spark):
+    df = spark.createDataFrame([(0.125,), (0.135,)], ["x"])
+    vals = [r["v"] for r in df.select(numeric.bround2("x").alias("v")).collect()]
+    assert vals == [0.12, 0.14]

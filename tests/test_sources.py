@@ -1,0 +1,66 @@
+"""Sources & sinks: S1 folder-CSV scan with filename-derived audit
+date, S2 single CSV, S3 single-file CSV sink with BOM, S5 JDBC URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_sales_pandas_sqlserver_spark.sources import (
+    jdbc_url,
+    read_csv,
+    read_sales_folder,
+    write_single_csv,
+)
+
+CSV_HEADER = "Sale_ID,Product,Amount,Date\n"
+
+
+def _write_folder(tmp_path):
+    files = {
+        "2025-01-01.csv": "a1,K-A,1.00 USD,2024-01-01\na2,K-B,2.00 EUR,2024-01-02\n",
+        "2025-02-01.csv": "b1,K-C,3.00,2024-02-01\n",
+        "notes.csv": "c1,K-D,4.00 USD,2024-03-01\n",  # non-date stem -> NULL audit
+        "ignore.txt": "not,a,csv,file\n",
+    }
+    for name, body in files.items():
+        (tmp_path / name).write_text(CSV_HEADER + body if name.endswith(".csv") else body)
+    return str(tmp_path)
+
+
+def test_read_sales_folder_audit_date(spark, tmp_path):
+    d = _write_folder(tmp_path)
+    df = read_sales_folder(spark, d)
+    rows = {r["Sale_ID"]: r for r in df.collect()}
+    assert len(rows) == 4  # txt file excluded by *.csv glob
+    assert rows["a1"]["Audit_Date"].month == 1
+    assert rows["b1"]["Audit_Date"].month == 2
+    assert rows["c1"]["Audit_Date"] is None  # non-date stem coerced to NULL
+
+
+def test_read_csv_with_date_parse(spark, tmp_path):
+    p = tmp_path / "one.csv"
+    p.write_text(CSV_HEADER + "x1,K-A,1.00 USD,2024-05-05\nx2,K-B,2.00 USD,garbage\n")
+    df = read_csv(spark, str(p), date_col="Date")
+    rows = {r["Sale_ID"]: r for r in df.collect()}
+    assert rows["x1"]["Date"].day == 5
+    assert rows["x2"]["Date"] is None
+
+
+def test_write_single_csv_bom(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1.5)], ["k", "v"])
+    out = str(tmp_path / "out.csv")
+    write_single_csv(df, out, with_bom=True)
+    data = open(out, "rb").read()
+    assert data.startswith(b"\xef\xbb\xbf")  # utf-8-sig parity (etl_utils.py:125)
+    assert b"k,v" in data and b"a,1.5" in data
+    assert os.path.isfile(out) and not os.path.isdir(out + "._spark_tmp")
+
+
+def test_jdbc_url_construction():
+    url = jdbc_url("MyDatabase")
+    assert url == "jdbc:sqlserver://localhost:1433;databaseName=MyDatabase;integratedSecurity=true"
+    url2 = jdbc_url("DB", host="srv", port=1444, integrated_security=False)
+    assert url2 == "jdbc:sqlserver://srv:1444;databaseName=DB"
