@@ -421,6 +421,7 @@ def q_orders_monthly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    # Layer A: the reference's operator surface (SURVEY.md section 2)
     "clean_valid_sales": (q_clean_valid_sales, _VALID_SALES_SQL),
     "categorize_invalid_sales": (q_categorize_invalid_sales, _INVALID_SALES_SQL),
     "monthly_summary": (q_monthly_summary, _MONTHLY_SUMMARY_SQL),
@@ -431,3 +432,20 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "union_by_name": (q_union_by_name, _UNION_BY_NAME_SQL),
     "orders_monthly_agg": (q_orders_monthly_agg, _ORDERS_MONTHLY_SQL),
 }
+
+
+def _register_extensions() -> None:
+    """Merge Layer B registries (analytics, text/dedup/similarity) into
+    QUERIES. Deferred import to keep module load order simple."""
+    from .analytics_queries import ANALYTICS_QUERIES
+
+    QUERIES.update(ANALYTICS_QUERIES)
+    try:
+        from ..functions.registry import FUNCTION_QUERIES
+
+        QUERIES.update(FUNCTION_QUERIES)
+    except ImportError:
+        pass
+
+
+_register_extensions()

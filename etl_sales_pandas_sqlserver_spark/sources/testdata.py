@@ -9,6 +9,8 @@ silently resolving to a wrong column (reference behavior on errors is
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..schemas import TESTDATA_TABLES
 
@@ -16,7 +18,15 @@ from ..schemas import TESTDATA_TABLES
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table: {name!r}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
+        # natively (PARQUET_TYPE_ILLEGAL); read nanos as long and
+        # convert by integer division -- truncation to micros matches
+        # DuckDB's ns->us read of the same file.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     expected = {f.name for f in TESTDATA_TABLES[name].fields}
     got = set(df.columns)
     if not expected.issubset(got):
