@@ -1,0 +1,432 @@
+"""Deduplication operators over the ``documents`` / ``embeddings``
+tables: exact content-hash dedup plus four near-duplicate detectors
+(n-gram Jaccard, MinHash+LSH, SimHash, embedding cosine).
+
+Scale design (the whole point -- these run over 100 TB of text):
+
+- **exact**: one hash-agg shuffle on a fixed-width md5 key; map-side
+  partial aggregation keeps the shuffle small. Never shuffles the text.
+- **ngram_jaccard**: the exact all-pairs answer via an *inverted index*
+  (explode shingles -> self-join on the 64-bit shingle hash -> count
+  common per pair). Shuffles (doc_id, hash) pairs, never text; cost is
+  sum over shingles of C(group_size, 2), which explodes on hot shingles
+  -- this is the correctness baseline, MinHash below is the scale path.
+- **minhash_lsh**: 64 hash functions -> 16 bands x 4 rows. Signature is
+  one agg shuffle; candidates come from equi-joining 16 fixed-width
+  band keys per doc; only candidates are exactly verified. Linear in
+  docs + near-dup pairs, independent of all-pairs count. For a pair
+  with true Jaccard j, P(candidate) = 1-(1-j^4)^16 (> 1-1e-12 at
+  j>=0.96, the planted-dup range), so the verified output equals the
+  exact answer on this data -- and the oracle asserts exactly that.
+- **simhash**: 24-bit SimHash over a *portable* 31-bit polynomial token
+  hash (expressible in both Spark and DuckDB SQL, so the oracle checks
+  the full pipeline including the banding); 4 bands x 6 bits, hamming
+  <= _SIMHASH_HAMMING candidates, exact-Jaccard verified.
+- **embedding_cosine**: brute-force pair scan at test scale with the
+  dot products as sequential folds (bitwise-identical across engines);
+  the ANN scale path lives in similarity.py.
+
+No Python UDFs anywhere -- everything is JVM-side higher-order array
+expressions, codegen-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+from .textstats import fingerprint_col
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_JACCARD_THRESHOLD = 0.9
+_COSINE_THRESHOLD = 0.4
+_MINHASH_K = 64  # 16 bands x 4 rows
+_MINHASH_BANDS = 16
+_SIMHASH_BITS = 24  # 4 bands x 6 bits
+_SIMHASH_BANDS = 4
+_SIMHASH_HAMMING = 8
+
+# ---------------------------------------------------------------------------
+# Shared shingling (word 3-grams, distinct per doc)
+# ---------------------------------------------------------------------------
+
+#: Spark: tokens -> distinct word-3-gram shingles (empty if < 3 tokens;
+#: the CASE guards sequence(1, 0) which would step backwards in Spark).
+_SHINGLES_EXPR = """
+  CASE WHEN size(w) < 3 THEN array()
+       ELSE array_distinct(transform(sequence(1, size(w) - 2),
+                           i -> concat_ws(' ', w[i-1], w[i], w[i+1])))
+  END
+"""
+
+_SHINGLES_CTE = r"""
+  toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+  ),
+  sh AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in range(1, len(w) - 1)]) AS s
+    FROM toks
+  )
+"""
+
+#: exact all-pairs Jaccard >= threshold -- the oracle for all three text
+#: near-dup detectors (each must return exactly the true answer).
+_EXACT_JACCARD_PAIRS_SQL = f"""
+  WITH {_SHINGLES_CTE},
+  pairs AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.s, b.s)) AS common,
+           len(a.s) AS na, len(b.s) AS nb
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  )
+  SELECT a_id, b_id,
+         CAST(common AS DOUBLE) / (na + nb - common) AS jaccard
+  FROM pairs
+  WHERE CAST(common AS DOUBLE) / (na + nb - common) >= {_JACCARD_THRESHOLD}
+  ORDER BY a_id, b_id
+"""
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).select("doc_id", F.expr(_SHINGLES_EXPR).alias("s"))
+
+
+def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Join candidate (a_id, b_id) pairs back to the shingle sets and
+    keep only pairs with exact Jaccard >= threshold. Only candidates are
+    verified -- at scale this joins |candidates| rows, not all pairs."""
+    sa = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    common = F.size(F.array_intersect("sa", "sb"))
+    jaccard = common.cast("double") / (F.size("sa") + F.size("sb") - common)
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup: content-hash group-by, keep the lowest doc_id.
+# ---------------------------------------------------------------------------
+
+EXACT_DEDUP_SQL = r"""
+  WITH f AS (
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+  )
+  SELECT min(doc_id) AS keep_doc_id, fingerprint, COUNT(*) AS n_copies
+  FROM f
+  GROUP BY fingerprint
+  ORDER BY keep_doc_id
+"""
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint_col().alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_doc_id", "fingerprint", "n_copies")
+        .orderBy("keep_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Exact n-gram Jaccard pairs via inverted shingle index.
+# ---------------------------------------------------------------------------
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    # inverted index: ship 64-bit hashes through the shuffle, not text
+    ex = sh.select("doc_id", F.explode("s").alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    a = ex.select(F.col("doc_id").alias("a_id"), "h")
+    b = ex.select(F.col("doc_id").alias("b_id"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    jaccard = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return (
+        common.join(na, "a_id")
+        .join(nb, "b_id")
+        .select("a_id", "b_id", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + LSH banding, exact-verified.
+# ---------------------------------------------------------------------------
+
+
+def _minhash_signature(ex: DataFrame) -> DataFrame:
+    """(doc_id, shingle) -> one row per doc with columns h0..h{K-1};
+    K seeded xxhash64 functions, min per function. One agg shuffle."""
+    mins = [
+        F.min(F.xxhash64(F.lit(i), "shingle")).alias(f"h{i}")
+        for i in range(_MINHASH_K)
+    ]
+    return ex.groupBy("doc_id").agg(*mins)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).cache()
+    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
+    sig = _minhash_signature(ex)
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.xxhash64(
+                    *[f"h{bi * rows_per_band + r}" for r in range(rows_per_band)]
+                ).alias("val"),
+            )
+            for bi in range(_MINHASH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    left = banded.select(F.col("doc_id").alias("a_id"), "band", "val")
+    right = banded.select(F.col("doc_id").alias("b_id"), "band", "val")
+    cand = (
+        left.join(right, ["band", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash with a portable polynomial hash -- the oracle replays the
+#    FULL pipeline (hash, bit-majority, banding, hamming, verify) in SQL.
+# ---------------------------------------------------------------------------
+
+_HASH31_MOD = 1_000_000_007
+
+#: Spark-side portable token hash: left fold (acc*31 + codepoint) % p
+_HASH31_SPARK = (
+    "aggregate(transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),"
+    " CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {mod})"
+).format(mod=_HASH31_MOD)
+
+_HASH31_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, length(tok) + 1), i -> ascii(substr(tok, i, 1)))),"
+    " (acc, x) -> (acc * 31 + x) % {mod})"
+).format(mod=_HASH31_MOD)
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS c{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN c{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(_SIMHASH_BITS)
+    )
+    bits_per_band = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << bits_per_band) - 1
+    band_eq = " OR ".join(
+        f"(a.simhash >> {bi * bits_per_band}) & {mask} = (b.simhash >> {bi * bits_per_band}) & {mask}"
+        for bi in range(_SIMHASH_BANDS)
+    )
+    return rf"""
+  WITH simtoks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents
+  ),
+  hashed AS (
+    SELECT doc_id, {_HASH31_DUCK} AS h FROM simtoks
+  ),
+  bitsum AS (
+    SELECT doc_id,
+           {bit_sums}
+    FROM hashed GROUP BY doc_id
+  ),
+  sig AS (
+    SELECT doc_id, {assemble} AS simhash FROM bitsum
+  ),
+  cand AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE ({band_eq})
+      AND bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAMMING}
+  ),
+  {_SHINGLES_CTE.lstrip()},
+  verified AS (
+    SELECT c.a_id, c.b_id, c.hamming,
+           CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+             / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.a_id
+    JOIN sh sb ON sb.doc_id = c.b_id
+  )
+  SELECT a_id, b_id, hamming, jaccard
+  FROM verified WHERE jaccard >= {_JACCARD_THRESHOLD}
+  ORDER BY a_id, b_id
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    hashed = toks.select("doc_id", F.expr(_HASH31_SPARK).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"c{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    bitsum = hashed.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for j in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"c{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    sig = bitsum.select("doc_id", simhash.cast("long").alias("simhash"))
+
+    bits_per_band = _SIMHASH_BITS // _SIMHASH_BANDS
+    mask = (1 << bits_per_band) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftright("simhash", bi * bits_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for bi in range(_SIMHASH_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
+    )
+    left = banded.select(
+        F.col("doc_id").alias("a_id"), F.col("simhash").alias("sim_a"), "band", "val"
+    )
+    right = banded.select(
+        F.col("doc_id").alias("b_id"), F.col("simhash").alias("sim_b"), "band", "val"
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    cand = (
+        left.join(right, ["band", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _SIMHASH_HAMMING)
+        .distinct()
+    )
+    sh = _doc_shingles(spark, sf_dir)
+    verified = _verify_jaccard(cand.select("a_id", "b_id"), sh)
+    return (
+        verified.join(cand, ["a_id", "b_id"])
+        .select("a_id", "b_id", "hamming", "jaccard")
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Embedding-cosine near-dup pairs (brute force at test scale; the
+#    LSH/ANN scale path is similarity.py). Dot products are sequential
+#    folds so both engines produce bitwise-identical doubles.
+# ---------------------------------------------------------------------------
+
+#: DuckDB sequential fold dot product over DOUBLE lists
+_DOT_DUCK = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])),"
+    " (acc, x) -> acc + x)"
+)
+
+EMBEDDING_COSINE_SQL = f"""
+  WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+  ),
+  n AS (
+    SELECT vec_id, v, sqrt({_DOT_DUCK.format(a="v", b="v")}) AS nrm
+    FROM e
+  ),
+  pairs AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           {_DOT_DUCK.format(a="a.v", b="b.v")} / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+  )
+  SELECT a_id, b_id, cosine
+  FROM pairs WHERE cosine >= {_COSINE_THRESHOLD}
+  ORDER BY a_id, b_id
+"""
+
+
+def _dot(a, b):
+    """Sequential-fold dot product (index order, double accumulate) --
+    mirrors the DuckDB fold above so results are bitwise identical."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    n = e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+    a = n.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= _COSINE_THRESHOLD)
+        .orderBy("a_id", "b_id")
+    )
+
+
+QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
+    "dedup_exact": (q_exact_dedup, EXACT_DEDUP_SQL),
+    "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _EXACT_JACCARD_PAIRS_SQL),
+    "dedup_minhash_lsh": (q_minhash_lsh_pairs, _EXACT_JACCARD_PAIRS_SQL),
+    "dedup_simhash": (q_simhash_pairs, SIMHASH_SQL),
+    "dedup_embedding_cosine": (q_embedding_cosine_pairs, EMBEDDING_COSINE_SQL),
+}

@@ -1,0 +1,294 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, language identification, document fingerprinting.
+
+All four operators are pure JVM-side expression pipelines (split /
+regexp / higher-order array functions / md5) -- no Python UDFs -- so
+they whole-stage-codegen and scale linearly with input splits: a scan +
+project (+ one hash-agg shuffle where the output is grouped). At 100 TB
+the only shuffle in this file is the final small-keyspace aggregate.
+
+Cross-engine determinism: token counts and length sums are integers;
+every ratio is a single double division on identical integer operands,
+so Spark and DuckDB agree bitwise (IEEE-754). Fingerprints are md5 hex
+strings, identical in both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+#: whitespace-word tokenizer used everywhere (documents.text is
+#: single-space separated, but the regex keeps the engine honest on
+#: arbitrary input).
+_TOKEN_SPLIT = r"\s+"
+
+#: BPE-ish surface tokenizer: runs of lowercase alnum OR a single
+#: non-alnum-non-space char. Same RE2-compatible pattern on both
+#: engines.
+_RE_TOKEN = "[a-z0-9]+|[^a-z0-9\\s]"
+
+#: tiny function-word lists for the language-ID heuristic. Overlaps
+#: (de/la appear in several Romance lists) are fine -- scoring is
+#: deterministic and the tiebreak order is fixed.
+_LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "nicht"],
+    "fr": ["le", "la", "de", "et", "un", "est", "dans", "les"],
+}
+#: deterministic argmax precedence when scores tie
+_LANG_ORDER = ["en", "es", "de", "fr"]
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.trim(F.col(col)), _TOKEN_SPLIT)
+
+
+# ---------------------------------------------------------------------------
+# 1. Token counting: whitespace tokens + BPE-ish regex tokens, per source.
+# ---------------------------------------------------------------------------
+
+TOKEN_STATS_SQL = f"""
+  WITH d AS (
+    SELECT source,
+           len(regexp_split_to_array(trim(text), '{_TOKEN_SPLIT}')) AS n_ws,
+           len(regexp_extract_all(lower(text), '{_RE_TOKEN}')) AS n_re,
+           length(text) AS n_char
+    FROM documents
+  )
+  SELECT source,
+         COUNT(*) AS n_docs,
+         SUM(n_ws) AS total_ws_tokens,
+         SUM(n_re) AS total_re_tokens,
+         CAST(SUM(n_char) AS DOUBLE) / SUM(n_ws) AS chars_per_token,
+         MIN(n_ws) AS min_tokens,
+         MAX(n_ws) AS max_tokens
+  FROM d
+  GROUP BY source
+  ORDER BY source
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(_tokens()).alias("n_ws"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_RE_TOKEN), F.lit(0))).alias(
+            "n_re"
+        ),
+        F.length("text").alias("n_char"),
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.sum("n_re").alias("total_re_tokens"),
+            (F.sum("n_char").cast("double") / F.sum("n_ws")).alias("chars_per_token"),
+            F.min("n_ws").alias("min_tokens"),
+            F.max("n_ws").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Quality scoring: per-doc length / stopword-ratio / mean-token-length
+#    heuristics -> a quality class. The standard cheap pre-filter in a
+#    training-data pipeline (C4/Gopher-style rules).
+# ---------------------------------------------------------------------------
+
+_EN_STOP_SQL = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS["en"])
+
+QUALITY_SCORES_SQL = f"""
+  WITH t AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(text), '{_TOKEN_SPLIT}') AS toks,
+           length(text) AS n_char
+    FROM documents
+  ), m AS (
+    SELECT doc_id, n_char,
+           len(toks) AS n_tokens,
+           list_sum(list_transform(toks, t -> length(t))) AS token_chars,
+           len(list_filter(toks, t -> t IN ({_EN_STOP_SQL}))) AS n_stop
+    FROM t
+  )
+  SELECT doc_id, n_tokens,
+         CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len,
+         CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+         CASE WHEN n_tokens >= 20
+               AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
+               AND CAST(token_chars AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0
+              THEN 'good'
+              WHEN n_tokens >= 5 THEN 'fair'
+              ELSE 'junk' END AS quality
+  FROM m
+  ORDER BY doc_id
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(w) for w in _LANG_STOPWORDS["en"]])
+    t = docs.select(
+        "doc_id", _tokens().alias("toks"), F.length("text").alias("n_char")
+    )
+    m = t.select(
+        "doc_id",
+        "n_char",
+        F.size("toks").alias("n_tokens"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("token_chars"),
+        F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))).alias(
+            "n_stop"
+        ),
+    )
+    avg_len = F.col("token_chars").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    quality = (
+        F.when(
+            (F.col("n_tokens") >= 20)
+            & stop_ratio.between(0.01, 0.6)
+            & avg_len.between(2.0, 12.0),
+            "good",
+        )
+        .when(F.col("n_tokens") >= 5, "fair")
+        .otherwise("junk")
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# 3. Language ID: function-word overlap scoring with a fixed-precedence
+#    argmax. Compared against the table's claimed ``lang`` column as a
+#    confusion-matrix-style rollup.
+# ---------------------------------------------------------------------------
+
+
+def _lang_scores_sql() -> str:
+    scores = ",\n           ".join(
+        f"len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in ws)}))) AS s_{lang}"
+        for lang, ws in _LANG_STOPWORDS.items()
+    )
+    # fixed-precedence argmax: first lang (in _LANG_ORDER) whose score
+    # is >= every other score wins
+    cases = []
+    for lang in _LANG_ORDER:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in _LANG_ORDER if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""
+  WITH t AS (
+    SELECT doc_id, lang,
+           regexp_split_to_array(trim(lower(text)), '{_TOKEN_SPLIT}') AS toks
+    FROM documents
+  ), s AS (
+    SELECT doc_id, lang,
+           {scores}
+    FROM t
+  )
+  SELECT lang AS claimed_lang, {case_sql} AS predicted_lang,
+         COUNT(*) AS n_docs
+  FROM s
+  GROUP BY 1, 2
+  ORDER BY 1, 2
+"""
+
+
+LANG_ID_SQL = _lang_scores_sql()
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.split(F.trim(F.lower("text")), _TOKEN_SPLIT).alias("toks"),
+    )
+    def _overlap(ws: list[str]):
+        arr = F.array(*[F.lit(w) for w in ws])
+        return F.size(F.filter("toks", lambda x: F.array_contains(arr, x)))
+
+    score_cols = [
+        _overlap(ws).alias(f"s_{lang}") for lang, ws in _LANG_STOPWORDS.items()
+    ]
+    s = t.select("doc_id", "lang", *score_cols)
+    pred = None
+    for lang in _LANG_ORDER:
+        cond = None
+        for other in _LANG_ORDER:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, lang) if pred is None else pred.when(cond, lang)
+        )
+    pred = pred.otherwise("und")
+    return (
+        s.select(F.col("lang").alias("claimed_lang"), pred.alias("predicted_lang"))
+        .groupBy("claimed_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("claimed_lang", "predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Document fingerprinting: md5 over whitespace-normalized text. The
+#    exact-dedup content key; n_copies counts fingerprint collisions
+#    (group sizes) via one window over the fingerprint.
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_SQL = """
+  WITH f AS (
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+  )
+  SELECT doc_id, fingerprint,
+         COUNT(*) OVER (PARTITION BY fingerprint) AS n_copies
+  FROM f
+  ORDER BY doc_id
+"""
+
+
+def fingerprint_col(col: str = "text"):
+    """md5 of lowercase whitespace-collapsed text -- the content key
+    used by exact dedup (dedup.py) and this query."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " "))))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("doc_id", fingerprint_col().alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return f.select(
+        "doc_id", "fingerprint", F.count(F.lit(1)).over(w).alias("n_copies")
+    ).orderBy("doc_id")
+
+
+TEXT_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "text_token_stats": (q_token_stats, TOKEN_STATS_SQL),
+    "text_quality_scores": (q_quality_scores, QUALITY_SCORES_SQL),
+    "text_lang_id": (q_lang_id, LANG_ID_SQL),
+    "text_fingerprint": (q_fingerprint, FINGERPRINT_SQL),
+}
