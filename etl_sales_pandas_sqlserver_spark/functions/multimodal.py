@@ -1,0 +1,186 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is
+stubbed exactly as a production pipeline would gate a missing optional
+dependency: :func:`decode_image` / :func:`resample_audio` /
+:func:`sample_frames` raise ``NotImplementedError`` unless a
+deterministic fake decoder is requested. Everything around the stub --
+the binary schema, the Arrow batch iteration, the output contract, the
+partition-preserving plan shape -- is real and tested.
+
+Scale notes: ``mapInPandas`` is a narrow transformation (no shuffle);
+payload bytes flow executor-side through Arrow in
+``spark.sql.execution.arrow.maxRecordsPerBatch``-sized batches, so
+memory is bounded per batch regardless of table size. The final
+per-source rollup is the only shuffle, on a small keyspace.
+
+The driver-checkable query derives its binary payloads from
+``documents.text`` (utf-8 encode) so a DuckDB oracle can recompute the
+features from the text side (the testdata text is pure ASCII:
+char == byte, verified in tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.testdata import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+#: modality tag derived deterministically from doc_id (no media files in
+#: the testdata; the tag exercises the metadata column contract)
+_MODALITIES = ["image", "audio", "video"]
+
+
+# ---------------------------------------------------------------------------
+# Stubbed decoders -- the optional-dependency gate, spelled explicitly.
+# ---------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
+    """Decode an image payload to (width, height).
+
+    Real decoding needs an image codec (PIL/opencv), which this
+    environment does not ship; ``fake=True`` derives deterministic
+    dimensions from the bytes instead (used by tests and the plumbing
+    query below -- clearly marked, never silently wrong).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image codec (PIL/opencv); "
+            "re-run with fake=True for the deterministic stub"
+        )
+    width = int(payload[0]) % 64 + 1 if payload else 1
+    height = len(payload) % 64 + 1
+    return width, height
+
+
+def resample_audio(payload: bytes, rate: int = 16000) -> np.ndarray:
+    raise NotImplementedError(
+        "audio resampling requires an audio codec (soundfile/librosa)"
+    )
+
+
+def sample_frames(payload: bytes, every_n: int = 30) -> list[bytes]:
+    raise NotImplementedError("frame sampling requires a video codec (ffmpeg)")
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched feature extraction over the binary column.
+# ---------------------------------------------------------------------------
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("first_byte", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("fake_width", T.LongType()),
+        T.StructField("fake_height", T.LongType()),
+    ]
+)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: vectorized byte stats per Arrow batch. The
+    loop is per-batch (thousands of rows), not per-row; numpy does the
+    byte math."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.map(len).astype("int64")
+        first = payloads.map(lambda b: int(b[0]) if len(b) else -1).astype("int64")
+        byte_sum = payloads.map(
+            lambda b: int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64))
+        ).astype("int64")
+        dims = payloads.map(lambda b: decode_image(b, fake=True))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "modality": pdf["modality"],
+                "n_bytes": n_bytes,
+                "first_byte": first,
+                "byte_sum": byte_sum,
+                "fake_width": dims.map(lambda d: d[0]).astype("int64"),
+                "fake_height": dims.map(lambda d: d[1]).astype("int64"),
+            }
+        )
+
+
+def with_binary_payload(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary column + typed metadata the way a real
+    multimodal table would carry them (payload, modality, n_bytes)."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in _MODALITIES]),
+            (F.col("doc_id") % len(_MODALITIES) + 1).cast("int"),
+        ).alias("modality"),
+    )
+
+
+def extract_binary_features(docs: DataFrame) -> DataFrame:
+    return with_binary_payload(docs).mapInPandas(
+        _extract_features, schema=FEATURE_SCHEMA
+    )
+
+
+# DuckDB recomputes the same features from the text side (ASCII: the
+# byte at position i is ascii(substr(text, i, 1))).
+BINARY_FEATURES_SQL = """
+  WITH feats AS (
+    SELECT doc_id, source,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           length(text) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           list_sum(list_transform(range(1, length(text) + 1),
+                                   i -> ascii(substr(text, i, 1)))) AS byte_sum,
+           ascii(substr(text, 1, 1)) % 64 + 1 AS fake_width,
+           length(text) % 64 + 1 AS fake_height
+    FROM documents
+  )
+  SELECT modality, source,
+         COUNT(*) AS n_docs,
+         SUM(n_bytes) AS total_bytes,
+         SUM(byte_sum) AS total_byte_sum,
+         MIN(fake_width) AS min_width,
+         MAX(fake_height) AS max_height
+  FROM feats
+  GROUP BY modality, source
+  ORDER BY modality, source
+"""
+
+
+def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_binary_features(docs.select("doc_id", "source", "text"))
+    return (
+        feats.groupBy("modality", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("byte_sum").alias("total_byte_sum"),
+            F.min("fake_width").alias("min_width"),
+            F.max("fake_height").alias("max_height"),
+        )
+        .orderBy("modality", "source")
+    )
+
+
+QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
+    "multimodal_binary_features": (q_binary_features, BINARY_FEATURES_SQL),
+}

@@ -1,0 +1,226 @@
+"""Structured Streaming queries over ``events``, run as finite
+``availableNow`` streams so the driver can check them like batch.
+
+Two shapes:
+
+- **watermarked tumbling-window aggregation** -- the canonical
+  streaming rollup: event-time window + watermark bounds state, so at
+  100 TB/day the state store holds only the open windows, not history.
+- **arbitrary stateful sessionization** (``applyInPandasWithState``) --
+  the gap-based session operator Spark has no built-in for. State per
+  user carries (last event time, session count, event count) across
+  micro-batches; Arrow moves each group's rows into pandas in batches.
+
+Both produce deterministic results for a finite input regardless of
+micro-batch slicing: the window agg is associative, and the session
+state transition is order-correct because each group's rows are sorted
+within the batch and the watermark admits no late data in replay.
+
+Event time handling: events.parquet stores TIMESTAMP(NANOS), which
+Spark reads only as long (legacy nanosAsLong); all math is integer
+microseconds (`ts div 1000`), so results are timezone-independent --
+window keys are emitted as epoch-hour integers, never formatted
+wall-clock strings.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Iterator
+from typing import Any, Callable, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+_sink_counter = itertools.count()
+
+#: events.parquet read schema under spark.sql.legacy.parquet.nanosAsLong
+_EVENTS_NANOS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos-as-long
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite file stream over events.parquet with event-time columns:
+    ``ts_us`` (long micros) and ``event_time`` (timestamp, for
+    window/watermark)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source wants a directory: stream the sf dir with
+    # a glob that admits only the events table
+    raw = (
+        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    ts_us = F.expr("ts div 1000")
+    return raw.select(
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.timestamp_micros(ts_us).alias("event_time"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def _run_to_table(spark: SparkSession, result: DataFrame, mode: str) -> DataFrame:
+    """Execute a finite stream into a memory sink and return the sink
+    table."""
+    name = f"stream_sink_{next(_sink_counter)}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# 1. Watermarked tumbling-window aggregation.
+# ---------------------------------------------------------------------------
+
+STREAM_HOURLY_SQL = """
+  SELECT epoch_us(ts) // 3600000000 AS hour_bucket,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+  FROM events
+  GROUP BY 1, 2
+  ORDER BY 1, 2
+"""
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            # epoch-hour integer key: timezone-proof on both engines
+            F.expr("unix_micros(window.start) div 3600000000").alias("hour_bucket"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_table(spark, agg, "complete").orderBy("hour_bucket", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# 2. Arbitrary stateful sessionization (applyInPandasWithState).
+# ---------------------------------------------------------------------------
+
+_SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: Tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """State transition: a new session starts when the gap from the
+    previous event exceeds _SESSION_GAP_US. Vectorized over each Arrow
+    batch; state carries (last_ts, sessions, events) across batches."""
+    if state.exists:
+        last_ts, n_sessions, n_events = state.get
+    else:
+        last_ts, n_sessions, n_events = None, 0, 0
+    for pdf in batches:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        ts = pdf["ts_us"].to_numpy()
+        if len(ts) == 0:
+            continue
+        prev = ts[:-1]
+        gaps_new = (ts[1:] - prev) > _SESSION_GAP_US
+        first_new = last_ts is None or (ts[0] - last_ts) > _SESSION_GAP_US
+        n_sessions += int(first_new) + int(gaps_new.sum())
+        n_events += len(ts)
+        last_ts = int(ts[-1])
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_sessions": [n_sessions], "n_events": [n_events]}
+    )
+
+
+STREAM_SESSIONS_SQL = """
+  WITH g AS (
+    SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+  ),
+  o AS (
+    SELECT user_id,
+           CASE WHEN lag(tsu) OVER w IS NULL
+                  OR tsu - lag(tsu) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM g
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+  )
+  SELECT user_id,
+         CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+         COUNT(*) AS n_events
+  FROM o
+  GROUP BY user_id
+  ORDER BY user_id
+"""
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts_us", "event_id")
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=_SESSION_OUTPUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_table(spark, sessions, "update")
+    # update-mode sinks may hold one row per micro-batch; counts are
+    # monotone, so the final state per user is the max
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
+    "stream_hourly_agg": (q_stream_hourly, STREAM_HOURLY_SQL),
+    "stream_sessionize_stateful": (q_stream_sessions, STREAM_SESSIONS_SQL),
+}
