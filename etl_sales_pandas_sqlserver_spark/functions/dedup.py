@@ -339,7 +339,10 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(_SIMHASH_BITS):
         term = F.when(F.col(f"c{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    sig = bitsum.select("doc_id", simhash.cast("long").alias("simhash"))
+    # one row per doc; cached because both sides of the band self-join
+    # (and the hamming recompute) reuse it -- without this the whole
+    # shingle->hash->bit-majority pipeline runs 3x
+    sig = bitsum.select("doc_id", simhash.cast("long").alias("simhash")).cache()
 
     bits_per_band = _SIMHASH_BITS // _SIMHASH_BANDS
     mask = (1 << bits_per_band) - 1
@@ -370,8 +373,15 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SIMHASH_HAMMING)
         .distinct()
+        .cache()  # reused by the verify join below and the final join
     )
-    sh = _doc_shingles(spark, sf_dir)
+    # hamming <= 8 on correlated docs admits ~300k candidates at sf0.1;
+    # verifying string-array intersections there costs ~7s. Hash each
+    # shingle to 64 bits first: intersect counts are identical (distinct
+    # inputs, collision odds ~1e-11) and the intersect runs on longs.
+    sh = _doc_shingles(spark, sf_dir).withColumn(
+        "s", F.transform("s", lambda x: F.xxhash64(x))
+    )
     verified = _verify_jaccard(cand.select("a_id", "b_id"), sh)
     return (
         verified.join(cand, ["a_id", "b_id"])
