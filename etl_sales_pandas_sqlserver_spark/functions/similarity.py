@@ -1,51 +1,53 @@
 """Similarity search over the ``embeddings`` table (array<float>, 64-d).
 
-Two paths:
+Three paths, all sharing one scale shape: the query batch is tiny by
+definition (top-k search serves a bounded set of probes per request),
+so queries + index metadata are collected/broadcast to every executor,
+and the CANDIDATE side — the 100 TB side — streams through
+``mapInPandas`` in Arrow batches, each scored with one vectorized
+numpy kernel and reduced to a per-partition top-k before the (tiny)
+global top-k shuffle. Nothing ever shuffles the vectors.
 
-- **exact top-k** (`similarity_topk_exact`): brute-force cosine of every
-  query against every candidate, window top-k per query. The correctness
-  baseline; oracle-checked. Scale shape: the candidate side stays
-  partitioned, each query broadcasts (queries are small by definition),
-  and Spark's WindowGroupLimit computes map-side top-k before the
-  shuffle -- so cost is one pass over candidates per batch of queries.
-- **LSH ANN** (`similarity_topk_ann`): random-hyperplane signatures
-  bucket candidates; queries probe every bucket within hamming distance
-  _PROBE_RADIUS of their own, then rerank the probed candidates
-  exactly. Cost per query drops from |candidates| to the probed-bucket
-  mass. Approximate by construction -- registered rows-only for the
-  driver; tests/test_functions.py asserts recall@k against the exact
-  baseline instead.
-- **IVF ANN** (`similarity_topk_ivf`): k-means (MLlib, fixed seed)
-  coarse quantizer; vectors are assigned to inverted lists by nearest
-  centroid, queries search the nprobe closest lists and rerank exactly.
-  The standard billion-scale layout (train centroids on a sample,
-  partition the corpus by list id, probe per query).
+- **exact top-k** (`similarity_topk_exact`): brute-force cosine of
+  every query against every candidate. The correctness baseline;
+  oracle-checked, so the kernel accumulates the dot product in strict
+  index order (see `_seq_matmul`) — bitwise identical to the DuckDB
+  oracle's sequential `list_reduce` fold. Map-side top-k means the
+  shuffle carries k rows per query per partition, not |candidates|.
+- **LSH ANN** (`similarity_topk_ann`): signed-random-projection
+  signatures; a candidate is probed when its bucket is within hamming
+  distance _PROBE_RADIUS of the query's bucket. Cost per query drops
+  from |candidates| to the probed-bucket mass. Hyperplanes are a fixed
+  seeded draw — no runtime randomness.
+- **IVF ANN** (`similarity_topk_ivf`): k-means coarse quantizer
+  (driver-side seeded Lloyd's on a bounded deterministic sample —
+  the standard billion-scale layout trains centroids on a sample, not
+  the corpus; MLlib's distributed k-means at query time would spend
+  20 scheduler round-trips on a 16x64 model). Vectors are assigned to
+  inverted lists by nearest centroid; each query searches its
+  _IVF_NPROBE nearest lists and reranks exactly.
+
+Approximate variants are registered rows-only for the driver;
+tests/test_functions.py asserts recall@k against the exact baseline.
 
 Recall caveat, measured honestly: the synthetic test embeddings are
 near-uniform on the sphere (max pairwise cosine ~0.5), which is the
-information-theoretic worst case for space-partitioning ANN -- both
+information-theoretic worst case for space-partitioning ANN — both
 variants land ~0.5-0.65 recall@5 while probing 25-50% of the corpus.
 On real clustered embedding corpora the same layouts probe a few
 percent for >0.9 recall; the tests pin the measured floors so a
 regression is visible without overclaiming.
-
-Dot products are sequential folds over doubles (same order both
-engines) so cosine values -- and therefore rankings -- are
-bitwise-reproducible. Hyperplanes are a fixed seeded numpy draw
-embedded as literals: no runtime randomness anywhere.
 """
 
 from __future__ import annotations
 
-import itertools
-from typing import Callable
+from typing import Callable, Iterator
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
-from .dedup import _dot
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -56,6 +58,7 @@ _PROBE_RADIUS = 2  # probe buckets within this hamming distance
 _DIM = 64
 _IVF_K = 16  # k-means lists
 _IVF_NPROBE = 4  # lists searched per query
+_IVF_TRAIN_SAMPLE = 16384  # quantizer training sample cap (driver-side)
 
 _DOT_DUCK = (
     "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
@@ -87,31 +90,54 @@ TOPK_EXACT_SQL = f"""
   ORDER BY query_id, rank
 """
 
+_PAIR_SCHEMA = "query_id long, neighbor_id long, cosine double"
 
-def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    return e.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+    return emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
 
-def q_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = _normed(spark, sf_dir)
-    q = n.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("vq"),
-        F.col("nrm").alias("nq"),
-    )
-    c = n.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("vc"),
-        F.col("nrm").alias("nc"),
-    )
-    cosine = _dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc"))
-    scored = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine.alias("cosine"))
-    )
+def _seq_matmul(m: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(n, d) x (k, d) -> (n, k) dot products accumulated in strict
+    index order: acc = (acc + m[:,j]*q[:,j]) for j = 0..d-1. Per-element
+    this is the exact double-add sequence of the DuckDB oracle's
+    ``list_reduce`` fold (numpy elementwise ops don't fuse), so scalar
+    results are bitwise identical across engines while each step is a
+    vectorized O(n*k) kernel instead of an interpreted lambda."""
+    acc = np.zeros((m.shape[0], q.shape[0]), dtype=np.float64)
+    for j in range(m.shape[1]):
+        acc = acc + m[:, j : j + 1] * q[None, :, j]
+    return acc
+
+
+def _seq_norms(m: np.ndarray) -> np.ndarray:
+    """sqrt of the sequential-fold self-dot, matching sqrt(_DOT_DUCK)."""
+    acc = np.zeros(m.shape[0], dtype=np.float64)
+    for j in range(m.shape[1]):
+        acc = acc + m[:, j] * m[:, j]
+    return np.sqrt(acc)
+
+
+def _collect_queries(vecs: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """The query batch (tiny by definition) to the driver: ids + matrix."""
+    rows = vecs.filter(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _local_topk(
+    ids: np.ndarray, cos: np.ndarray, qid: int, k: int
+) -> "list[tuple[int, int, float]]":
+    """Partition-local top-k by (cosine desc, neighbor_id asc)."""
+    if len(ids) == 0:
+        return []
+    order = np.lexsort((ids, -cos))[:k]
+    return [(qid, int(ids[i]), float(cos[i])) for i in order]
+
+
+def _global_topk(scored: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -122,128 +148,168 @@ def q_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    vecs = _vectors(spark, sf_dir)
+    q_ids, q_mat = _collect_queries(vecs)
+    q_nrm = _seq_norms(q_mat)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        qids, qmat, qnrm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cand_ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            # oracle spells cosine = dot / (q.nrm * c.nrm); reproduce the
+            # op order exactly (multiply norms first, then divide)
+            cos = _seq_matmul(m, qmat) / (qnrm[None, :] * _seq_norms(m)[:, None])
+            out: list[tuple[int, int, float]] = []
+            for qi in range(len(qids)):
+                keep = cand_ids != qids[qi]
+                out.extend(
+                    _local_topk(cand_ids[keep], cos[keep, qi], int(qids[qi]), _TOP_K)
+                )
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+
+    scored = vecs.mapInPandas(scan, schema=_PAIR_SCHEMA)
+    return _global_topk(scored)
+
+
 # ---------------------------------------------------------------------------
-# LSH ANN: signed random projections -> bucket join -> exact rerank.
+# LSH ANN: signed random projections -> hamming-radius probe -> exact rerank.
 # ---------------------------------------------------------------------------
 
 
 def _hyperplanes() -> np.ndarray:
-    """Fixed seeded hyperplane draw; literal-embedded, no runtime RNG."""
+    """Fixed seeded hyperplane draw; broadcast, no runtime RNG."""
     rng = np.random.default_rng(42)
     return rng.standard_normal((_N_PLANES, _DIM))
 
 
-def _bucket_col(vec_col: str) -> F.Column:
-    """LSH bucket id: sign bit per hyperplane, packed into an int."""
-    planes = _hyperplanes()
-    bucket = F.lit(0)
-    for p in range(_N_PLANES):
-        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
-        proj = _dot(F.col(vec_col), plane)
-        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """LSH bucket id per row: sign bit per hyperplane packed into an int."""
+    signs = (mat @ planes.T) >= 0.0
+    return (signs.astype(np.int64) << np.arange(_N_PLANES)[None, :]).sum(axis=1)
+
+
+#: popcount over the 2^_N_PLANES possible xor values (buckets are 5-bit)
+_POPCOUNT = np.array([bin(i).count("1") for i in range(1 << _N_PLANES)], dtype=np.int64)
 
 
 def q_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = _normed(spark, sf_dir)
-    sig = n.withColumn("bucket", _bucket_col("v"))
-    cand = sig.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("vc"),
-        F.col("nrm").alias("nc"),
-        "bucket",
-    )
-    # multiprobe: every bucket within hamming distance _PROBE_RADIUS
-    masks = [0] + [
-        sum(1 << p for p in combo)
-        for r in range(1, _PROBE_RADIUS + 1)
-        for combo in itertools.combinations(range(_N_PLANES), r)
-    ]
-    probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
-    q = (
-        sig.filter(F.col("vec_id") < _N_QUERIES)
-        .withColumn("probe", F.explode(probes))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("vq"),
-            F.col("nrm").alias("nq"),
-            F.col("probe").alias("bucket"),
+    import pandas as pd
+
+    vecs = _vectors(spark, sf_dir)
+    q_ids, q_mat = _collect_queries(vecs)
+    q_nrm = _seq_norms(q_mat)
+    planes = _hyperplanes()
+    q_buckets = _bucket_of(q_mat, planes)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm, q_buckets, planes))
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        qids, qmat, qnrm, qbuck, pl = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cand_ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            buckets = _bucket_of(m, pl)
+            nrm = _seq_norms(m)
+            out: list[tuple[int, int, float]] = []
+            for qi in range(len(qids)):
+                # probe = all candidates within hamming radius of the
+                # query's bucket (equivalent to enumerating the probe
+                # bucket set, without materializing it)
+                ham = _POPCOUNT[np.bitwise_xor(buckets, qbuck[qi])]
+                keep = (ham <= _PROBE_RADIUS) & (cand_ids != qids[qi])
+                if not keep.any():
+                    continue
+                cos = _seq_matmul(m[keep], qmat[qi : qi + 1])[:, 0] / (
+                    qnrm[qi] * nrm[keep]
+                )
+                out.extend(_local_topk(cand_ids[keep], cos, int(qids[qi]), _TOP_K))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+
+    scored = vecs.mapInPandas(scan, schema=_PAIR_SCHEMA)
+    return _global_topk(scored)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: sample-trained k-means quantizer -> inverted lists -> probe.
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_fit(x: np.ndarray, k: int, seed: int, iters: int = 20) -> np.ndarray:
+    """Seeded Lloyd's with k-means++ init on the (unit-normalized)
+    training sample. Deterministic: fixed rng, argmin ties -> lowest
+    index. Returns (k, d) centroids."""
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    # k-means++ seeding
+    cents = [x[rng.integers(n)]]
+    for _ in range(1, k):
+        d2 = np.min(
+            np.stack([((x - c) ** 2).sum(axis=1) for c in cents]), axis=0
         )
-    )
-    cosine = _dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc"))
-    scored = (
-        F.broadcast(q)
-        .join(cand, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine.alias("cosine"))
-        .distinct()  # a candidate can match several probes
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .orderBy("query_id", "rank")
-    )
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(n, 1.0 / n)
+        cents.append(x[rng.choice(n, p=probs)])
+    c = np.stack(cents)
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return c
 
 
-# ---------------------------------------------------------------------------
-# IVF ANN: k-means coarse quantizer -> inverted lists -> probe + rerank.
-# ---------------------------------------------------------------------------
+def _nearest_lists(u: np.ndarray, cents: np.ndarray, n: int) -> np.ndarray:
+    """Indices of the n nearest centroids (euclidean) per row: (rows, n)."""
+    d2 = ((u[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return np.argsort(d2, axis=1, kind="stable")[:, :n]
 
 
 def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import pandas as pd
 
-    n = _normed(spark, sf_dir).withColumn(
-        "unit", F.transform("v", lambda x: x / F.col("nrm"))
-    )
-    feat = n.withColumn("features", array_to_vector("unit"))
-    # train the coarse quantizer (at 100 TB: fit on a sample, broadcast
-    # the centroids; k-means itself is MLlib's distributed Lloyd's)
-    km = KMeans(k=_IVF_K, seed=42, maxIter=20).fit(feat)
-    assigned = km.transform(feat).withColumnRenamed("prediction", "list_id")
-    cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())],
-        "list_id int, cv array<double>",
-    )
-    q = assigned.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("unit").alias("uq")
-    )
-    # rank lists per query by centroid dot product, keep nprobe
-    qc = q.crossJoin(F.broadcast(cents)).withColumn(
-        "cdot", _dot(F.col("uq"), F.col("cv"))
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("cdot").desc(), F.col("list_id").asc()
-    )
-    probes = (
-        qc.withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= _IVF_NPROBE)
-        .select("query_id", "uq", "list_id")
-    )
-    cand = assigned.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("unit").alias("uc"), "list_id"
-    )
-    scored = (
-        F.broadcast(probes)
-        .join(cand, "list_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id", "neighbor_id", _dot(F.col("uq"), F.col("uc")).alias("cosine")
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .orderBy("query_id", "rank")
-    )
+    vecs = _vectors(spark, sf_dir)
+    # bounded deterministic training sample for the coarse quantizer; at
+    # 100 TB this is `df.sample(...).limit(_IVF_TRAIN_SAMPLE)` — the
+    # quantizer quality depends on sample coverage, not corpus size
+    sample = vecs.orderBy("vec_id").limit(_IVF_TRAIN_SAMPLE).collect()
+    x = np.array([r.v for r in sample], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    cents = _kmeans_fit(x, _IVF_K, seed=42)
+
+    q_ids, q_mat = _collect_queries(vecs)
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    probe_lists = _nearest_lists(q_unit, cents, _IVF_NPROBE)
+    bc = spark.sparkContext.broadcast((q_ids, q_unit, probe_lists, cents))
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        qids, qunit, probes, c = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cand_ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            u = m / np.linalg.norm(m, axis=1, keepdims=True)
+            assign = _nearest_lists(u, c, 1)[:, 0]
+            out: list[tuple[int, int, float]] = []
+            for qi in range(len(qids)):
+                keep = np.isin(assign, probes[qi]) & (cand_ids != qids[qi])
+                if not keep.any():
+                    continue
+                cos = u[keep] @ qunit[qi]
+                out.extend(_local_topk(cand_ids[keep], cos, int(qids[qi]), _TOP_K))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+
+    scored = vecs.mapInPandas(scan, schema=_PAIR_SCHEMA)
+    return _global_topk(scored)
 
 
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {

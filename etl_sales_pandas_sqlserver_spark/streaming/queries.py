@@ -207,7 +207,17 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = _run_to_table(spark, sessions, "update")
+    # the stateful shuffle's partition count = state-store instance count,
+    # fixed at stream start; each store's first open costs ~1s and the
+    # opens serialize on local mode (measured: 32 partitions -> 46s first
+    # run, 8 -> 9s). On a cluster you size this to executor count; for
+    # the local bench 8 stores cover ~5k user groups comfortably.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_table(spark, sessions, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # update-mode sinks may hold one row per micro-batch; counts are
     # monotone, so the final state per user is the max
     return (
