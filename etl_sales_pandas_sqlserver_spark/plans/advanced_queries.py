@@ -1,0 +1,321 @@
+"""Advanced relational coverage beyond analytics_queries.py: classic
+multi-join TPC-H shapes (Q3/Q6 analogs on the driver testdata), set
+operations (INTERSECT / EXCEPT), deterministic discrete percentiles,
+ordered string aggregation, per-row window deltas, and an HLL
+approximate-distinct (rows-only; sketch internals differ per engine).
+
+The reference has none of these (SURVEY.md section 2.5 note) — they
+complete the relational surface a user of a general batch engine
+expects, each with the plan shape that survives 100 TB:
+
+- Q3 analog: selective dimension filter broadcast into the fact scan,
+  decimal-exact revenue, global top-k via TakeOrderedAndProject (k rows
+  per partition shuffle, never a full sort).
+- Q6 analog: pure scan-side predicate + one partial/final agg — the
+  pushdown showcase (PushedFilters carries every predicate).
+- Percentiles: hand-rolled rank-based discrete quantiles (window +
+  conditional agg) rather than engine-native percentile functions,
+  whose interpolation/selection rules differ across engines.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 analog: shipping-priority top-10 orders by pending revenue.
+# ---------------------------------------------------------------------------
+
+TPCH_Q3_SQL = """
+  WITH rev AS (
+    SELECT o.o_orderkey AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS revenue_dec
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+  )
+  SELECT orderkey, orderdate, CAST(revenue_dec AS DOUBLE) AS revenue
+  FROM rev
+  ORDER BY revenue_dec DESC, orderkey
+  LIMIT 10
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    cust = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ords = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = lineitem.filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    # selective dims joined first; the filtered customer set is small ->
+    # broadcast so the orders scan never shuffles on custkey
+    rev = (
+        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == ords.o_orderkey)
+        .groupBy(
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+                "revenue_dec"
+            )
+        )
+    )
+    return (
+        rev.orderBy(F.col("revenue_dec").desc(), "orderkey")
+        .limit(10)
+        .select(
+            "orderkey", "orderdate", F.col("revenue_dec").cast("double").alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 analog: forecast revenue — pure pushdown filter + global agg.
+# ---------------------------------------------------------------------------
+
+TPCH_Q6_SQL = """
+  SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lines
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    AND l_discount BETWEEN 0.02 AND 0.06
+    AND l_quantity < 24
+"""
+
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT (distinct semantics on both engines).
+# ---------------------------------------------------------------------------
+
+INTERSECT_SQL = """
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  ORDER BY custkey
+"""
+
+EXCEPT_SQL = """
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  ORDER BY custkey
+"""
+
+
+def _status_custkeys(spark: SparkSession, sf_dir: str, status: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderstatus") == status).select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both open and fulfilled orders. Physical plan is a
+    distinct-aggregate + hash join on the key — one shuffle each side."""
+    return (
+        _status_custkeys(spark, sf_dir, "O")
+        .intersect(_status_custkeys(spark, sf_dir, "F"))
+        .orderBy("custkey")
+    )
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with open orders and no fulfilled ones. ``subtract``
+    is EXCEPT DISTINCT (``exceptAll`` would keep multiset surplus --
+    a custkey with more 'O' rows than 'F' rows would survive)."""
+    return (
+        _status_custkeys(spark, sf_dir, "O")
+        .subtract(_status_custkeys(spark, sf_dir, "F"))
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discrete percentiles, hand-rolled: rank-based selection is exact and
+# engine-portable (native percentile fns differ in interpolation rules).
+# ---------------------------------------------------------------------------
+
+_PCTS = [(25, 0.25), (50, 0.50), (90, 0.90)]
+
+_PCT_CASES_SQL = ",\n         ".join(
+    f"MAX(CASE WHEN rn = GREATEST(CAST(CEIL({p} * n) AS BIGINT), 1) THEN o_totalprice END) AS p{tag}"
+    for tag, p in _PCTS
+)
+
+PERCENTILES_SQL = f"""
+  WITH ranked AS (
+    SELECT c.c_mktsegment AS mktsegment, o.o_totalprice,
+           row_number() OVER (PARTITION BY c.c_mktsegment
+                              ORDER BY o.o_totalprice, o.o_orderkey) AS rn,
+           COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  )
+  SELECT mktsegment,
+         {_PCT_CASES_SQL}
+  FROM ranked
+  GROUP BY mktsegment
+  ORDER BY mktsegment
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(F.col("c_mktsegment").alias("mktsegment"), "o_totalprice", "o_orderkey")
+    w = Window.partitionBy("mktsegment").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("mktsegment")
+    ranked = joined.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.greatest(
+                    F.ceil(F.lit(p) * F.col("n")).cast("long"), F.lit(1)
+                ),
+                F.col("o_totalprice"),
+            )
+        ).alias(f"p{tag}")
+        for tag, p in _PCTS
+    ]
+    return ranked.groupBy("mktsegment").agg(*aggs).orderBy("mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: nations per region as a sorted CSV list.
+# ---------------------------------------------------------------------------
+
+STRING_AGG_SQL = """
+  SELECT r.r_name AS region_name,
+         COUNT(*) AS n_nations,
+         string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1
+  ORDER BY 1
+"""
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+        )
+        .orderBy("region_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-row window deltas: previous-event gap + value quartile per user.
+# ---------------------------------------------------------------------------
+
+WINDOW_DELTAS_SQL = """
+  SELECT event_id, user_id,
+         epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                ORDER BY epoch_us(ts), event_id)
+           AS prev_gap_us,
+         ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+           AS value_quartile
+  FROM events
+  ORDER BY event_id
+"""
+
+
+def q_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w_time = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return (
+        ev.withColumn("prev_gap_us", F.col("ts_us") - F.lag("ts_us").over(w_time))
+        .withColumn("value_quartile", F.ntile(4).over(w_val))
+        .select("event_id", "user_id", "ts_us", "prev_gap_us", "value_quartile")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HLL++). Sketch layouts differ across engines, so
+# this registers rows-only; tests/test_advanced.py bounds the error
+# against the exact count instead.
+# ---------------------------------------------------------------------------
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ADVANCED_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "tpch_q3_top_revenue": (q_tpch_q3, TPCH_Q3_SQL),
+    "tpch_q6_forecast_revenue": (q_tpch_q6, TPCH_Q6_SQL),
+    "set_intersect_custkeys": (q_intersect, INTERSECT_SQL),
+    "set_except_custkeys": (q_except, EXCEPT_SQL),
+    "percentiles_by_segment": (q_percentiles, PERCENTILES_SQL),
+    "string_agg_nations": (q_string_agg, STRING_AGG_SQL),
+    "window_event_deltas": (q_window_deltas, WINDOW_DELTAS_SQL),
+    # sketch internals are engine-specific: rows-only for the driver,
+    # error bounded vs the exact count in tests
+    "approx_distinct_users": (q_approx_distinct, None),
+}

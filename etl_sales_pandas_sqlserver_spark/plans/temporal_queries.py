@@ -1,0 +1,258 @@
+"""Temporal operators Spark has no built-in for: as-of join, banded
+range self-join, and a hypertable-style multi-granularity time-bucket
+rollup — each expressed as a composition of DataFrame ops (SURVEY.md
+section 7 phase 6; the reference itself has no temporal operators, see
+SURVEY.md section 2.5 note).
+
+Scale shapes:
+
+- **as-of join** (`asof_join_clicks_views`): the union-then-window
+  form, NOT a range join: tag both sides, union, and carry the right
+  side's latest value forward with ``last(ignorenulls) OVER (ROWS
+  UNBOUNDED PRECEDING)``. One shuffle on the partition key, zero pair
+  blow-up, state bounded by the window frame — this is the shape that
+  survives 100 TB, where an inequality join would explode.
+- **range join** (`range_join_event_pairs`): banded bucket join — each
+  row joins only its own and adjacent time buckets (bucket width =
+  the band), so the shuffle key is (user, bucket) and the candidate
+  mass is bounded by per-bucket population, never |rows|^2. Every
+  qualifying pair is matched exactly once (the probe side explodes to
+  3 buckets; the build side keeps its single home bucket).
+- **time-bucket rollup** (`time_bucket_rollup`): GROUPING SETS over
+  integer epoch-division buckets (hour + day in one pass, one shuffle;
+  partial aggregation applies per set). Buckets are epoch integer
+  divisions, not date_trunc, so results are timezone-independent on
+  both engines.
+
+All event-time outputs are epoch-microsecond longs (timezone-proof);
+float sums accumulate in DECIMAL (exact, associative) and cast back.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_RANGE_BAND_US = 3_600_000_000  # 1 hour
+_HOUR_US = 3_600_000_000
+_DAY_US = 86_400_000_000
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("tsu"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. As-of join: each click joined to the latest view at-or-before it.
+# ---------------------------------------------------------------------------
+
+ASOF_SQL = """
+  WITH v AS (
+    SELECT user_id, ts, max(value) AS view_value
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2
+  ),
+  c AS (
+    SELECT event_id, user_id, ts, value AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+  )
+  SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.purchase_value,
+         v.view_value AS last_click_value, epoch_us(v.ts) AS click_ts_us
+  FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+  ORDER BY c.event_id
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each 'purchase' event joined to the latest at-or-before 'click'
+    by the same user (DuckDB oracle uses its native ASOF JOIN).
+
+    The right side is first made unique per (user, ts) — max(value) —
+    so the as-of pick is deterministic on both engines."""
+    ev = _events_us(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "tsu")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "tsu", F.col("value").alias("purchase_value")
+    )
+    # tag right=0 / left=1: at equal ts the right row sorts first, so the
+    # running last() sees it — i.e. `left.ts >= right.ts` semantics
+    tagged = clicks.select(
+        "user_id",
+        "tsu",
+        F.lit(0).alias("tag"),
+        "click_value",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    ).unionByName(
+        purchases.select(
+            "user_id",
+            "tsu",
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("double").alias("click_value"),
+            "event_id",
+            "purchase_value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_click_value", F.last("click_value", ignorenulls=True).over(w)
+    ).withColumn(
+        "click_ts_us",
+        F.last(
+            F.when(F.col("tag") == 0, F.col("tsu")), ignorenulls=True
+        ).over(w),
+    )
+    return (
+        carried.filter(F.col("tag") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("tsu").alias("ts_us"),
+            "purchase_value",
+            "last_click_value",
+            "click_ts_us",
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Banded range self-join: same-user event pairs within +/- 1 hour.
+# ---------------------------------------------------------------------------
+
+RANGE_JOIN_SQL = f"""
+  SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id,
+         epoch_us(b.ts) - epoch_us(a.ts) AS dt_us
+  FROM events a JOIN events b
+    ON a.user_id = b.user_id
+   AND a.event_id < b.event_id
+   AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {_RANGE_BAND_US}
+  ORDER BY a_id, b_id
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All same-user event pairs within the band. The oracle spells the
+    naive inequality join; the engine spells the banded bucket join
+    that scales (shuffle on (user, bucket), 3x probe replication)."""
+    ev = _events_us(spark, sf_dir).select("event_id", "user_id", "tsu")
+    b = ev.withColumn("bucket", F.expr(f"tsu div {_RANGE_BAND_US}"))
+    probe = b.select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("tsu").alias("a_tsu"),
+        F.explode(
+            F.array(
+                F.col("bucket") - 1, F.col("bucket"), F.col("bucket") + 1
+            )
+        ).alias("probe"),
+    )
+    build = b.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("tsu").alias("b_tsu"),
+        "bucket",
+    )
+    return (
+        probe.join(
+            build,
+            (probe.user_id == build.b_user)
+            & (probe.probe == build.bucket)
+            & (probe.a_id < build.b_id),
+        )
+        .filter(F.abs(F.col("a_tsu") - F.col("b_tsu")) <= _RANGE_BAND_US)
+        .select(
+            "a_id",
+            "b_id",
+            "user_id",
+            (F.col("b_tsu") - F.col("a_tsu")).alias("dt_us"),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Hypertable-style rollup: hour + day buckets in one GROUPING SETS pass.
+# ---------------------------------------------------------------------------
+
+TIME_BUCKET_SQL = f"""
+  WITH e AS (
+    SELECT event_type,
+           epoch_us(ts) // {_HOUR_US} AS hour_bucket,
+           epoch_us(ts) // {_DAY_US} AS day_bucket,
+           value
+    FROM events
+  )
+  SELECT CASE WHEN GROUPING(hour_bucket) = 1 THEN 'day' ELSE 'hour' END AS granularity,
+         COALESCE(hour_bucket, day_bucket) AS bucket,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+  FROM e
+  GROUP BY GROUPING SETS ((hour_bucket, event_type), (day_bucket, event_type))
+  ORDER BY granularity, bucket, event_type
+"""
+
+
+def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hour_bucket"),
+        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day_bucket"),
+        "value",
+    )
+    grouped = e.groupingSets(
+        [["hour_bucket", "event_type"], ["day_bucket", "event_type"]],
+        "hour_bucket",
+        "day_bucket",
+        "event_type",
+    )
+    # grouping() is only resolvable inside the grouped aggregate list
+    return (
+        grouped.agg(
+            F.grouping("hour_bucket").alias("g_hour"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.when(F.col("g_hour") == 1, F.lit("day"))
+            .otherwise(F.lit("hour"))
+            .alias("granularity"),
+            F.coalesce("hour_bucket", "day_bucket").alias("bucket"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("granularity", "bucket", "event_type")
+    )
+
+
+TEMPORAL_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "asof_join_clicks_purchases": (q_asof_join, ASOF_SQL),
+    "range_join_event_pairs": (q_range_join, RANGE_JOIN_SQL),
+    "time_bucket_rollup": (q_time_bucket_rollup, TIME_BUCKET_SQL),
+}

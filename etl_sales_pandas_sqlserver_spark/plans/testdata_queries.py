@@ -437,9 +437,13 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
 def _register_extensions() -> None:
     """Merge Layer B registries (analytics, text/dedup/similarity) into
     QUERIES. Deferred import to keep module load order simple."""
+    from .advanced_queries import ADVANCED_QUERIES
     from .analytics_queries import ANALYTICS_QUERIES
+    from .temporal_queries import TEMPORAL_QUERIES
 
     QUERIES.update(ANALYTICS_QUERIES)
+    QUERIES.update(ADVANCED_QUERIES)
+    QUERIES.update(TEMPORAL_QUERIES)
     try:
         from ..functions.registry import FUNCTION_QUERIES
 

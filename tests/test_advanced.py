@@ -1,0 +1,96 @@
+"""Semantics tests for the advanced/temporal operators that the oracle
+can't (approx distinct) or only end-to-end (as-of tie rules) checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_sales_pandas_sqlserver_spark.plans.advanced_queries import (
+    q_approx_distinct,
+    q_except,
+    q_intersect,
+)
+from etl_sales_pandas_sqlserver_spark.plans.temporal_queries import (
+    _RANGE_BAND_US,
+    q_asof_join,
+    q_range_join,
+)
+
+
+def test_approx_distinct_error_bound(spark, sf_small):
+    rows = q_approx_distinct(spark, sf_small).collect()
+    assert rows, "no event types"
+    for r in rows:
+        rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
+        assert rel_err < 0.15, f"{r.event_type}: approx off by {rel_err:.1%}"
+
+
+def test_asof_matches_naive_window(spark, sf_small):
+    """The union-then-window as-of must agree with the quadratic spec:
+    per purchase, the click row with max ts <= purchase ts."""
+    got = {
+        r.event_id: (r.last_click_value, r.click_ts_us)
+        for r in q_asof_join(spark, sf_small).collect()
+    }
+    from etl_sales_pandas_sqlserver_spark.sources.testdata import load_table
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", "event_type", "value", F.unix_micros("ts").alias("tsu")
+    )
+    clicks = [
+        (r.user_id, r.tsu, r.value)
+        for r in events.filter(F.col("event_type") == "click").collect()
+    ]
+    by_user: dict[int, list[tuple[int, float]]] = {}
+    for uid, tsu, val in clicks:
+        by_user.setdefault(uid, []).append((tsu, val))
+    purchases = events.filter(F.col("event_type") == "purchase").collect()
+    assert len(got) == len(purchases)
+    for p in purchases:
+        cands = [(t, v) for t, v in by_user.get(p.user_id, []) if t <= p.tsu]
+        if not cands:
+            assert got[p.event_id] == (None, None)
+            continue
+        best_ts = max(t for t, _ in cands)
+        best_val = max(v for t, v in cands if t == best_ts)  # max(value) tie rule
+        assert got[p.event_id] == (best_val, best_ts), p.event_id
+
+
+def test_range_join_band_is_exact(spark, sf_small):
+    """The banded bucket join must equal the naive quadratic pair scan."""
+    from etl_sales_pandas_sqlserver_spark.sources.testdata import load_table
+
+    events = load_table(spark, sf_small, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("tsu")
+    )
+    rows = events.collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    expected = set()
+    for rs in by_user.values():
+        for i, a in enumerate(rs):
+            for b in rs[i + 1 :]:
+                if abs(a.tsu - b.tsu) <= _RANGE_BAND_US:
+                    lo, hi = sorted((a.event_id, b.event_id))
+                    expected.add((lo, hi))
+    got = {(r.a_id, r.b_id) for r in q_range_join(spark, sf_small).collect()}
+    assert got == expected
+
+
+def test_intersect_except_partition_property(spark, sf_small):
+    """intersect(O,F) and except(O,F) partition the distinct 'O' keys."""
+    both = {r.custkey for r in q_intersect(spark, sf_small).collect()}
+    only_o = {r.custkey for r in q_except(spark, sf_small).collect()}
+    assert both.isdisjoint(only_o)
+    from etl_sales_pandas_sqlserver_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_small, "orders")
+    o_keys = {
+        r.o_custkey
+        for r in orders.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    assert both | only_o == o_keys
