@@ -155,10 +155,10 @@ BINARY_FEATURES_SQL = """
   )
   SELECT modality, source,
          COUNT(*) AS n_docs,
-         SUM(n_bytes) AS total_bytes,
-         SUM(byte_sum) AS total_byte_sum,
-         MIN(fake_width) AS min_width,
-         MAX(fake_height) AS max_height
+         CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+         CAST(SUM(byte_sum) AS BIGINT) AS total_byte_sum,
+         CAST(MIN(fake_width) AS BIGINT) AS min_width,
+         CAST(MAX(fake_height) AS BIGINT) AS max_height
   FROM feats
   GROUP BY modality, source
   ORDER BY modality, source

@@ -65,8 +65,8 @@ TOKEN_STATS_SQL = f"""
   )
   SELECT source,
          COUNT(*) AS n_docs,
-         SUM(n_ws) AS total_ws_tokens,
-         SUM(n_re) AS total_re_tokens,
+         CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+         CAST(SUM(n_re) AS BIGINT) AS total_re_tokens,
          CAST(SUM(n_char) AS DOUBLE) / SUM(n_ws) AS chars_per_token,
          MIN(n_ws) AS min_tokens,
          MAX(n_ws) AS max_tokens
@@ -80,10 +80,10 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "source",
-        F.size(_tokens()).alias("n_ws"),
-        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_RE_TOKEN), F.lit(0))).alias(
-            "n_re"
-        ),
+        F.size(_tokens()).cast("long").alias("n_ws"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_RE_TOKEN), F.lit(0)))
+        .cast("long")
+        .alias("n_re"),
         F.length("text").alias("n_char"),
     )
     return (
