@@ -18,14 +18,24 @@ Scale design (the whole point -- these run over 100 TB of text):
   with true Jaccard j, P(candidate) = 1-(1-j^4)^16 (> 1-1e-12 at
   j>=0.96, the planted-dup range), so the verified output equals the
   exact answer on this data -- and the oracle asserts exactly that.
-- **simhash**: 24-bit SimHash over *shingle* features with a portable
-  31-bit polynomial hash (expressible in both Spark and DuckDB SQL, so
-  the oracle checks the full pipeline including the banding); 4 bands
-  x 6 bits, hamming <= _SIMHASH_HAMMING candidates, exact-Jaccard
-  verified. Features are 3-gram shingles, NOT tokens: on a small
-  vocabulary token-level simhash degenerates (most docs share most
-  tokens -> correlated bit majorities -> giant LSH buckets); shingles
-  keep signatures diverse so band buckets stay small. Measured on the
+- **simhash**: 60-bit SimHash over *shingle* features with a portable
+  pair of 31-bit polynomial hashes combined into one 62-bit feature
+  hash (expressible in both Spark and DuckDB SQL, so the oracle checks
+  the full pipeline including the banding); 5 bands x 12 bits,
+  hamming <= _SIMHASH_HAMMING candidates, exact-Jaccard verified.
+  Band width is the scale lever: 12-bit bands have 4096 values, so
+  unrelated-doc band collisions are ~C(n,2)/2^12 per band instead of
+  the ~C(n,2)/2^6 a 6-bit band admits -- the round-1 24-bit version
+  produced ~320k candidate pairs at sf0.1; this geometry produces
+  ~18k band candidates / ~3.5k after the hamming cut (measured), with
+  the same 24/25 recall of the exact Jaccard answer round 1 had
+  (the miss is an hamming-11 outlier; minhash is the high-recall
+  path). Geometry swept empirically: 4x15 recalls 20/25, 6x10 costs
+  5x the candidates for no recall gain over 5x12.
+  Features are 3-gram shingles, NOT tokens: on a small vocabulary
+  token-level simhash degenerates (most docs share most tokens ->
+  correlated bit majorities -> giant LSH buckets); shingles keep
+  signatures diverse so band buckets stay small. Measured on the
   testdata: tokens gave 2474 distinct signatures across 5000 docs
   (quadratic bucket blowup), shingles give 4951.
 - **embedding_cosine**: brute-force pair scan at test scale with the
@@ -52,9 +62,9 @@ _JACCARD_THRESHOLD = 0.9
 _COSINE_THRESHOLD = 0.4
 _MINHASH_K = 64  # 16 bands x 4 rows
 _MINHASH_BANDS = 16
-_SIMHASH_BITS = 24  # 4 bands x 6 bits
-_SIMHASH_BANDS = 4
-_SIMHASH_HAMMING = 8
+_SIMHASH_BITS = 60  # 5 bands x 12 bits
+_SIMHASH_BANDS = 5
+_SIMHASH_HAMMING = 20
 
 # ---------------------------------------------------------------------------
 # Shared shingling (word 3-grams, distinct per doc)
@@ -238,36 +248,57 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    FULL pipeline (hash, bit-majority, banding, hamming, verify) in SQL.
 # ---------------------------------------------------------------------------
 
-_HASH31_MOD = 1_000_000_007
+#: Mersenne prime 2^31-1: two independent 31-bit polynomial hashes
+#: (multipliers 31 and 37) are combined into one 62-bit feature hash
+#: ``h1 * 2^31 + h2`` -- the widest portable hash both engines can
+#: evaluate without int64 overflow even under Spark ANSI mode
+#: (max intermediate: (p-1)*37 + 127 < 2^37; h1*2^31 + h2 < 2^62).
+_HASH_MOD = 2_147_483_647
+_HASH_SHIFT = 2_147_483_648  # 2^31
 
-#: Spark-side portable token hash: left fold (acc*31 + codepoint) % p.
+#: Spark-side portable token hash: left fold (acc*mult + codepoint) % p.
 #: Hashing is two-level — each token hashed ONCE per occurrence, then a
 #: shingle feature combines its three token hashes arithmetically. The
 #: flat spelling (char-fold over each ~56-char shingle string) does 3x
 #: the character work since every token sits in three shingles; measured
 #: at sf0.1 the two-level form cut the simhash signature stage ~3x.
-_HASH31_SPARK = (
-    "aggregate(transform(sequence(1, length(tok)), i -> ascii(substring(tok, i, 1))),"
-    " CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % {mod})"
-).format(mod=_HASH31_MOD)
+#: fold a pre-extracted codepoint array (lambda var `cs`) -- extracting
+#: the chars ONCE and folding twice halves the substring/ascii work
+#: versus re-extracting per multiplier
+def _hash_spark_cs(mult: int) -> str:
+    return (
+        f"aggregate(cs, CAST(0 AS BIGINT), (acc, x) -> (acc * {mult} + x) % {_HASH_MOD})"
+    )
 
-_HASH31_DUCK = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
-    " list_transform(range(1, length(tok) + 1), i -> ascii(substr(tok, i, 1)))),"
-    " (acc, x) -> (acc * 31 + x) % {mod})"
-).format(mod=_HASH31_MOD)
+
+def _hash_duck(mult: int) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        " list_transform(range(1, length(tok) + 1), i -> ascii(substr(tok, i, 1)))),"
+        f" (acc, x) -> (acc * {mult} + x) % {_HASH_MOD})"
+    )
+
 
 #: combine three token hashes into one shingle feature hash; max
-#: intermediate = (p-1)*31 + (p-1) < 2^35, no int64 overflow. `{t0}`,
+#: intermediate = (p-1)*37 + (p-1) < 2^37, no int64 overflow. `{t0}`,
 #: `{t1}`, `{t2}` are the token-hash terms in engine-local indexing.
-_COMBINE3 = "(({t0} * 31 + {t1}) % {mod} * 31 + {t2}) % {mod}"
+_COMBINE3 = "(({t0} * {mult} + {t1}) % {mod} * {mult} + {t2}) % {mod}"
 
-#: Spark: token-hash array th (0-based) -> shingle feature hashes;
-#: CASE guards sequence(1, 0) which would step backwards in Spark
+
+def _combine62(c1: str, c2: str) -> str:
+    """Two 31-bit combined hashes -> one 62-bit feature hash."""
+    return f"(({c1}) * CAST({_HASH_SHIFT} AS BIGINT) + ({c2}))"
+
+
+#: Spark: token-hash arrays th1/th2 (0-based) -> 62-bit shingle feature
+#: hashes; CASE guards sequence(1, 0) which would step backwards in Spark
 _SIMHASH_FEATURES_SPARK = f"""
-  CASE WHEN size(th) < 3 THEN array()
-       ELSE transform(sequence(1, size(th) - 2),
-                      i -> {_COMBINE3.format(t0="th[i-1]", t1="th[i]", t2="th[i+1]", mod=_HASH31_MOD)})
+  CASE WHEN size(th1) < 3 THEN array()
+       ELSE transform(sequence(1, size(th1) - 2),
+                      i -> {_combine62(
+                          _COMBINE3.format(t0="th1[i-1]", t1="th1[i]", t2="th1[i+1]", mult=31, mod=_HASH_MOD),
+                          _COMBINE3.format(t0="th2[i-1]", t1="th2[i]", t2="th2[i+1]", mult=37, mod=_HASH_MOD),
+                      )})
   END
 """
 
@@ -286,8 +317,9 @@ def _simhash_sql() -> str:
         f"(a.simhash >> {bi * bits_per_band}) & {mask} = (b.simhash >> {bi * bits_per_band}) & {mask}"
         for bi in range(_SIMHASH_BANDS)
     )
-    combine = _COMBINE3.format(
-        t0="th[i]", t1="th[i+1]", t2="th[i+2]", mod=_HASH31_MOD
+    combine = _combine62(
+        _COMBINE3.format(t0="th1[i]", t1="th1[i+1]", t2="th1[i+2]", mult=31, mod=_HASH_MOD),
+        _COMBINE3.format(t0="th2[i]", t1="th2[i+1]", t2="th2[i+2]", mult=37, mod=_HASH_MOD),
     )
     return rf"""
   WITH simw AS (
@@ -295,12 +327,14 @@ def _simhash_sql() -> str:
     FROM documents
   ),
   simth AS (
-    SELECT doc_id, list_transform(w, tok -> {_HASH31_DUCK}) AS th
+    SELECT doc_id,
+           list_transform(w, tok -> {_hash_duck(31)}) AS th1,
+           list_transform(w, tok -> {_hash_duck(37)}) AS th2
     FROM simw
   ),
   hashed AS (
     SELECT doc_id,
-           unnest([{combine} for i in range(1, len(th) - 1)]) AS h
+           unnest([{combine} for i in range(1, len(th1) - 1)]) AS h
     FROM simth
   ),
   bitsum AS (
@@ -338,10 +372,20 @@ SIMHASH_SQL = _simhash_sql()
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    token_hash = _HASH31_SPARK  # lambda var `tok` bound by transform below
+    # lambda vars `tok` / `cs` bound by the transforms below; codepoints
+    # extracted once per token, folded twice (multipliers 31 and 37)
+    codepoints = (
+        "transform(w, tok -> transform(sequence(1, length(tok)),"
+        " i -> ascii(substring(tok, i, 1))))"
+    )
     hashed = (
         docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
-        .select("doc_id", F.expr(f"transform(w, tok -> {token_hash})").alias("th"))
+        .select("doc_id", F.expr(codepoints).alias("wcs"))
+        .select(
+            "doc_id",
+            F.expr(f"transform(wcs, cs -> {_hash_spark_cs(31)})").alias("th1"),
+            F.expr(f"transform(wcs, cs -> {_hash_spark_cs(37)})").alias("th2"),
+        )
         .select("doc_id", F.explode(F.expr(_SIMHASH_FEATURES_SPARK)).alias("h"))
     )
     bit_sums = [
@@ -407,20 +451,34 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 5. Embedding-cosine near-dup pairs: broadcast-matmul block scan.
+# 5. Embedding-cosine near-dup pairs: distributed block-grid matmul.
 #
 # The naive spelling (pair self-join + per-pair expression fold) costs
 # |pairs| * dim interpreted lambda steps -- measured 38s for 2000
-# vectors at sf0.1. Instead the unit-normalized matrix is broadcast
-# (2000 x 64 doubles = 1 MB; small enough by construction for a
-# *near-dup* corpus scan where candidates fit an executor) and each
-# partition computes its block of the Gram matrix with one BLAS matmul
-# inside mapInPandas. Output is the (a_id, b_id) pair list -- ids only,
-# so cross-engine comparison never touches last-ulp float differences
-# between BLAS and the oracle's sequential fold (a pair would have to
-# sit within ~1e-12 of the threshold to disagree; tests pin the actual
-# data). At 100 TB the same kernel runs per LSH/IVF bucket instead of
-# against the full corpus.
+# vectors at sf0.1. The round-1 version collected the corpus to the
+# driver and broadcast the full matrix -- fast locally, a guaranteed
+# driver OOM at scale. This version keeps everything distributed:
+#
+# - each vector is assigned a block ``vec_id % NB``;
+# - each vector is replicated to the NB grid cells (g1, g2) its block
+#   participates in (classic all-pairs "grid" scheme), so every
+#   unordered block pair lands in exactly one ``applyInPandas`` group;
+# - each group computes its (|A| x |B|) slice of the Gram matrix with
+#   one BLAS matmul and emits only the (a_id, b_id) pairs over the
+#   threshold. Ids only, so cross-engine comparison never touches
+#   last-ulp float differences between BLAS and the oracle's
+#   sequential fold (a pair would have to sit within ~1e-12 of the
+#   threshold to disagree; tests pin the actual data).
+#
+# Cost model at scale: the O(n^2) pair work is inherent in the EXACT
+# all-pairs contract; what matters is that it is sharded. Per-task
+# memory = 2 blocks = 2*n/NB vectors; shuffle volume = NB * corpus
+# (replication factor NB); tasks = NB*(NB+1)/2, all independent. Pick
+# NB so a block fits executor memory (NB grows as sqrt of task-count
+# head-room). No driver collect, no full-corpus broadcast anywhere.
+# When approximate recall is acceptable the same BLAS kernel runs per
+# LSH/IVF bucket instead of per grid cell (see similarity.py's ANN
+# paths); the exact grid is the oracle-checkable contract here.
 # ---------------------------------------------------------------------------
 
 #: DuckDB sequential fold dot product over DOUBLE lists
@@ -462,40 +520,67 @@ def _dot(a, b):
     )
 
 
+_COSINE_GRID_BLOCKS = 8  # NB*(NB+1)/2 = 36 independent tasks locally
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    nb = _COSINE_GRID_BLOCKS
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = (
-        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-        .orderBy("vec_id")
-        .collect()
+    e = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        (F.col("vec_id") % nb).alias("blk"),
     )
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.v for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    # Replicate each vector to every grid cell its block participates
+    # in: a vector in block b lands in cell (min(b,o), max(b,o)) for
+    # each o in 0..NB-1, so each unordered block pair is one group and
+    # every vector appears in it exactly once (no pair dedup needed).
+    other = F.explode(F.array(*[F.lit(i) for i in range(nb)])).alias("other")
+    rep = e.select("vec_id", "v", "blk", other).select(
+        "vec_id",
+        "v",
+        "blk",
+        F.least("blk", "other").alias("g1"),
+        F.greatest("blk", "other").alias("g2"),
+    )
 
     schema = T.StructType(
         [T.StructField("a_id", T.LongType()), T.StructField("b_id", T.LongType())]
     )
 
-    def block_scan(batches):
-        all_ids, all_mat = bc.value
-        for pdf in batches:
-            block = np.stack(pdf["v"].to_numpy())
-            block /= np.linalg.norm(block, axis=1, keepdims=True)
-            sims = block @ all_mat.T  # one BLAS call per Arrow batch
-            bi, bj = np.nonzero(sims >= _COSINE_THRESHOLD)
-            a = pdf["vec_id"].to_numpy()[bi]
-            b = all_ids[bj]
+    def grid_cell(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        g1, g2 = key
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        if g1 == g2:
+            a_rows = b_rows = np.arange(len(ids))
+        else:
+            a_rows = np.nonzero((pdf["blk"] == g1).to_numpy())[0]
+            b_rows = np.nonzero((pdf["blk"] == g2).to_numpy())[0]
+        sims = mat[a_rows] @ mat[b_rows].T  # one BLAS call per cell
+        bi, bj = np.nonzero(sims >= _COSINE_THRESHOLD)
+        a = ids[a_rows][bi]
+        b = ids[b_rows][bj]
+        if g1 == g2:
+            # each unordered pair appears as (i,j) AND (j,i): keep one
             keep = a < b
-            yield pd.DataFrame({"a_id": a[keep], "b_id": b[keep]})
+            lo, hi = a[keep], b[keep]
+        else:
+            # each cross-block pair appears exactly once; ids interleave
+            # across blocks, so orient rather than filter
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a_id": lo, "b_id": hi})
 
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    return e.mapInPandas(block_scan, schema=schema).orderBy("a_id", "b_id")
+    return (
+        rep.groupBy("g1", "g2")
+        .applyInPandas(grid_cell, schema=schema)
+        .orderBy("a_id", "b_id")
+    )
 
 
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
