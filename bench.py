@@ -29,6 +29,8 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # the bench host has RAM to spare; the library default stays modest
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "32g")
     spark = get_spark(
         app_name="etl-sales-spark-bench",
         master=f"local[{cpus}]",

@@ -556,7 +556,10 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         g1, g2 = key
         ids = pdf["vec_id"].to_numpy()
         mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        # zero-norm vectors stay all-zero (dot = 0 < threshold) instead
+        # of propagating NaN through the comparisons
+        mat /= np.where(nrm == 0.0, 1.0, nrm)
         if g1 == g2:
             a_rows = b_rows = np.arange(len(ids))
         else:

@@ -163,12 +163,15 @@ def q_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             cand_ids = pdf["vec_id"].to_numpy()
             m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = _seq_norms(m)
             # oracle spells cosine = dot / (q.nrm * c.nrm); reproduce the
             # op order exactly (multiply norms first, then divide)
-            cos = _seq_matmul(m, qmat) / (qnrm[None, :] * _seq_norms(m)[:, None])
+            cos = _seq_matmul(m, qmat) / (qnrm[None, :] * nrm[:, None])
             out: list[tuple[int, int, float]] = []
             for qi in range(len(qids)):
-                keep = cand_ids != qids[qi]
+                if qnrm[qi] == 0.0:
+                    continue  # zero-norm query: cosine undefined, skip
+                keep = (cand_ids != qids[qi]) & (nrm > 0.0)
                 out.extend(
                     _local_topk(cand_ids[keep], cos[keep, qi], int(qids[qi]), _TOP_K)
                 )
@@ -220,11 +223,13 @@ def q_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             nrm = _seq_norms(m)
             out: list[tuple[int, int, float]] = []
             for qi in range(len(qids)):
+                if qnrm[qi] == 0.0:
+                    continue  # zero-norm query: cosine undefined, skip
                 # probe = all candidates within hamming radius of the
                 # query's bucket (equivalent to enumerating the probe
                 # bucket set, without materializing it)
                 ham = _POPCOUNT[np.bitwise_xor(buckets, qbuck[qi])]
-                keep = (ham <= _PROBE_RADIUS) & (cand_ids != qids[qi])
+                keep = (ham <= _PROBE_RADIUS) & (cand_ids != qids[qi]) & (nrm > 0.0)
                 if not keep.any():
                     continue
                 cos = _seq_matmul(m[keep], qmat[qi : qi + 1])[:, 0] / (
@@ -277,31 +282,48 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     vecs = _vectors(spark, sf_dir)
-    # bounded deterministic training sample for the coarse quantizer; at
-    # 100 TB this is `df.sample(...).limit(_IVF_TRAIN_SAMPLE)` — the
-    # quantizer quality depends on sample coverage, not corpus size
-    sample = vecs.orderBy("vec_id").limit(_IVF_TRAIN_SAMPLE).collect()
+    # bounded UNBIASED training sample for the coarse quantizer: a
+    # hash-based filter (keep rows with xxhash64(vec_id) % D == 0) is
+    # deterministic across runs AND uncorrelated with id order -- an
+    # id-prefix (orderBy + limit) would bias the centroids whenever ids
+    # correlate with content, and the full-corpus orderBy is itself a
+    # scale hazard. The limit only caps the rare oversized sample; the
+    # quantizer quality depends on sample coverage, not corpus size.
+    sample = (
+        vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
+        .limit(_IVF_TRAIN_SAMPLE)
+        .collect()
+    )
     x = np.array([r.v for r in sample], dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    xn = np.linalg.norm(x, axis=1, keepdims=True)
+    x = x[xn[:, 0] > 0] / xn[xn[:, 0] > 0]
     cents = _kmeans_fit(x, _IVF_K, seed=42)
 
     q_ids, q_mat = _collect_queries(vecs)
-    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_unit = q_mat / np.where(q_norms == 0.0, 1.0, q_norms)
     probe_lists = _nearest_lists(q_unit, cents, _IVF_NPROBE)
-    bc = spark.sparkContext.broadcast((q_ids, q_unit, probe_lists, cents))
+    bc = spark.sparkContext.broadcast((q_ids, q_unit, q_norms[:, 0], probe_lists, cents))
 
     def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        qids, qunit, probes, c = bc.value
+        qids, qunit, qnrm, probes, c = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             cand_ids = pdf["vec_id"].to_numpy()
             m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            u = m / np.linalg.norm(m, axis=1, keepdims=True)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            u = m / np.where(nrm == 0.0, 1.0, nrm)
             assign = _nearest_lists(u, c, 1)[:, 0]
             out: list[tuple[int, int, float]] = []
             for qi in range(len(qids)):
-                keep = np.isin(assign, probes[qi]) & (cand_ids != qids[qi])
+                if qnrm[qi] == 0.0:
+                    continue  # zero-norm query: cosine undefined, skip
+                keep = (
+                    np.isin(assign, probes[qi])
+                    & (cand_ids != qids[qi])
+                    & (nrm[:, 0] > 0.0)
+                )
                 if not keep.any():
                     continue
                 cos = u[keep] @ qunit[qi]

@@ -201,30 +201,116 @@ PERCENTILES_SQL = f"""
 """
 
 
+_PCT_BUCKETS = 1024
+
+
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles by segment via distributed two-pass
+    rank selection -- NOT a per-segment window sort.
+
+    The oracle ranks by ``(o_totalprice, o_orderkey)``, but only the
+    price at rank ``ceil(p*n)`` is returned, and within a run of tied
+    prices every rank maps to the same price -- so the orderkey
+    tie-break cannot change the output and pure value-rank selection is
+    exact. That unlocks the scalable plan:
+
+    1. histogram pass: per-(segment, price-bucket) counts -- a hash agg
+       with map-side partials; shuffle carries only segments x 1024
+       bucket keys, never the fact rows;
+    2. locate: a window over the TINY histogram (segments x 1024 rows)
+       finds, per percentile, the bucket holding rank r and the
+       residual rank inside it;
+    3. select: fact rows are semi-joined (broadcast) to the <=3 target
+       buckets per segment, and only those ~n/1024 rows per bucket are
+       sorted (in one small agg) to pick the residual-th price.
+
+    The round-1 spelling (row_number over partitionBy(mktsegment) with
+    5 segments) sorted the entire joined fact table through 5 window
+    partitions -- one task per segment at scale. Here no stage sorts
+    more than a bucket's worth of rows; skewed all-equal-price buckets
+    degrade gracefully (selection within one bucket).
+    """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     joined = orders.join(
         customer, orders.o_custkey == customer.c_custkey
-    ).select(F.col("c_mktsegment").alias("mktsegment"), "o_totalprice", "o_orderkey")
-    w = Window.partitionBy("mktsegment").orderBy("o_totalprice", "o_orderkey")
-    wn = Window.partitionBy("mktsegment")
-    ranked = joined.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(wn)
+    ).select(F.col("c_mktsegment").alias("mktsegment"), "o_totalprice")
+
+    # pass 0: per-segment min/max/count (tiny; broadcast back)
+    stats = joined.groupBy("mktsegment").agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(_PCT_BUCKETS)
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+            F.lit(_PCT_BUCKETS - 1),
+        )
+    )
+    bucketed = joined.join(F.broadcast(stats), "mktsegment").select(
+        "mktsegment", "o_totalprice", bucket.alias("bucket")
+    )
+
+    # pass 1: histogram (segments x <=1024 rows after the agg)
+    hist = bucketed.groupBy("mktsegment", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("mktsegment")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist_cum = hist.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+    )
+
+    # target rank per (segment, percentile); locate its bucket+residual
+    pcts = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(tag).alias("tag"), F.lit(p).alias("p"))
+                for tag, p in _PCTS
+            ]
+        )
+    ).alias("pct")
+    ranks = stats.select("mktsegment", "n", pcts).select(
+        "mktsegment",
+        F.col("pct.tag").alias("tag"),
+        F.greatest(
+            F.ceil(F.col("pct.p") * F.col("n")).cast("long"), F.lit(1)
+        ).alias("r"),
+    )
+    targets = (
+        ranks.join(hist_cum, "mktsegment")
+        .filter(
+            (F.col("cum_before") < F.col("r"))
+            & (F.col("r") <= F.col("cum_before") + F.col("cnt"))
+        )
+        .select(
+            "mktsegment",
+            "tag",
+            "bucket",
+            (F.col("r") - F.col("cum_before")).cast("int").alias("residual"),
+        )
+    )
+
+    # pass 2: sort ONLY the target buckets (~n/1024 rows each)
+    sel = (
+        bucketed.join(F.broadcast(targets), ["mktsegment", "bucket"])
+        .groupBy("mktsegment", "tag", "residual")
+        .agg(
+            F.element_at(
+                F.array_sort(F.collect_list("o_totalprice")), F.col("residual")
+            ).alias("val")
+        )
     )
     aggs = [
-        F.max(
-            F.when(
-                F.col("rn")
-                == F.greatest(
-                    F.ceil(F.lit(p) * F.col("n")).cast("long"), F.lit(1)
-                ),
-                F.col("o_totalprice"),
-            )
-        ).alias(f"p{tag}")
-        for tag, p in _PCTS
+        F.max(F.when(F.col("tag") == tag, F.col("val"))).alias(f"p{tag}")
+        for tag, _ in _PCTS
     ]
-    return ranked.groupBy("mktsegment").agg(*aggs).orderBy("mktsegment")
+    return sel.groupBy("mktsegment").agg(*aggs).orderBy("mktsegment")
 
 
 # ---------------------------------------------------------------------------

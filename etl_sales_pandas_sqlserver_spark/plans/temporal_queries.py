@@ -6,7 +6,7 @@ SURVEY.md section 2.5 note).
 
 Scale shapes:
 
-- **as-of join** (`asof_join_clicks_views`): the union-then-window
+- **as-of join** (`asof_join_clicks_purchases`): the union-then-window
   form, NOT a range join: tag both sides, union, and carry the right
   side's latest value forward with ``last(ignorenulls) OVER (ROWS
   UNBOUNDED PRECEDING)``. One shuffle on the partition key, zero pair
@@ -61,7 +61,7 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ASOF_SQL = """
   WITH v AS (
-    SELECT user_id, ts, max(value) AS view_value
+    SELECT user_id, ts, max(value) AS click_value
     FROM events WHERE event_type = 'click'
     GROUP BY 1, 2
   ),
@@ -70,7 +70,7 @@ ASOF_SQL = """
     FROM events WHERE event_type = 'purchase'
   )
   SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.purchase_value,
-         v.view_value AS last_click_value, epoch_us(v.ts) AS click_ts_us
+         v.click_value AS last_click_value, epoch_us(v.ts) AS click_ts_us
   FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
   ORDER BY c.event_id
 """

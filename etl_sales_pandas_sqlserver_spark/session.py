@@ -48,7 +48,9 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")  # cast-to-null, see operators.numeric
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # library default stays modest -- hosts with small RAM must not
+        # inherit a 32g heap; the bench harness opts in via the env var
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -212,9 +212,17 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # opens serialize on local mode (measured: 32 partitions -> 46s first
     # run, 8 -> 9s). On a cluster you size this to executor count; for
     # the local bench 8 stores cover ~5k user groups comfortably.
+    # NOTE: a pre-repartition(8, user_id) cannot replace this conf --
+    # streaming stateful operators demand the exact partition count of
+    # spark.sql.shuffle.partitions at plan time (state layout is keyed
+    # to it), so the session conf is the only knob. The set lives
+    # INSIDE the try so any failure still restores the previous value;
+    # concurrent planning on the same session would race on this conf
+    # (single-threaded in tests/bench; on a shared cluster run stateful
+    # streams from a dedicated session).
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         out = _run_to_table(spark, sessions, "update")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
