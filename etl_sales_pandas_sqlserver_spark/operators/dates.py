@@ -12,14 +12,35 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+#: default sniffing chain, mirroring what pandas/dateutil accept
+#: per-element (reference main.py:92-93 passes no format). ORDER IS
+#: SEMANTICS: dateutil resolves ambiguous numeric dates month-first
+#: ('05-01-2024' -> May 1) and only falls back to day-first when the
+#: first field cannot be a month ('13-01-2024' -> Jan 13), so the
+#: month-first patterns must precede their day-first twins here.
+_DEFAULT_FORMATS: tuple[str, ...] = (
+    "MM/dd/yyyy",
+    "dd/MM/yyyy",
+    "MM-dd-yyyy",
+    "dd-MM-yyyy",
+    "yyyy/MM/dd",
+)
+
+
 def to_timestamp_coerce(col: Column | str, formats: tuple[str, ...] = ()) -> Column:
     """P10 -- coercing multi-format timestamp parse (reference
-    main.py:92-93). With no formats, Spark's default parser handles
-    ISO-ish strings; each extra format is coalesced in order."""
+    main.py:92-93: ``pd.to_datetime(col, errors='coerce')`` sniffs the
+    format per element). Spark's default parser (tried first) covers
+    ISO dates and ISO date+time; the format chain -- the given
+    ``formats`` or the pandas-like ``_DEFAULT_FORMATS`` -- is coalesced
+    in order, so each ROW takes the first format that parses, exactly
+    like per-element sniffing. Unparseable -> NULL, never an ANSI
+    error."""
     c = F.col(col) if isinstance(col, str) else col
-    attempts = [F.try_to_timestamp(c, F.lit(fmt)) for fmt in formats]
-    attempts.append(F.try_to_timestamp(c))
-    return F.coalesce(*attempts) if len(attempts) > 1 else attempts[0]
+    chain = formats or _DEFAULT_FORMATS
+    attempts = [F.try_to_timestamp(c)]
+    attempts += [F.try_to_timestamp(c, F.lit(fmt)) for fmt in chain]
+    return F.coalesce(*attempts)
 
 
 def month_key(col: Column | str) -> Column:

@@ -1,3 +1,4 @@
+from .pipeline import run_sales_pipeline
 from .sales_etl import (
     clean_valid_sales,
     categorize_invalid_sales,
@@ -12,4 +13,5 @@ __all__ = [
     "categorize_invalid_sales_single_pass",
     "monthly_summary",
     "format_dates_for_sink",
+    "run_sales_pipeline",
 ]

@@ -128,6 +128,38 @@ def test_to_timestamp_coerce(spark):
     assert v is not None and v.month == 3
 
 
+def test_to_timestamp_coerce_sniffs_mixed_formats_like_pandas(spark):
+    """Default (no formats) chain == per-element pandas sniffing
+    (reference main.py:92-93), including dateutil's month-first
+    resolution of ambiguous numeric dates and its day-first fallback
+    when the first field cannot be a month."""
+    import pandas as pd
+
+    inputs = [
+        "2024-01-05",            # ISO
+        "2024-01-05 10:30:00",   # ISO with time
+        "01/15/2024",            # US month-first
+        "15/01/2024",            # day>12 -> day-first fallback
+        "05-01-2024",            # ambiguous -> month-first (May 1)
+        "13-01-2024",            # day>12 -> day-first (Jan 13)
+        "2024/06/07",            # y/m/d slashes
+        "not-a-date",            # -> NULL / NaT
+    ]
+    df = spark.createDataFrame([(s,) for s in inputs], ["x"])
+    got = {
+        r["x"]: r["t"]
+        for r in df.select("x", dates.to_timestamp_coerce("x").alias("t")).collect()
+    }
+    for s in inputs:
+        # per-element pandas parse = true format sniffing (a single
+        # list-call in pandas 2 requires format='mixed' for this data)
+        e = pd.to_datetime(s, errors="coerce")
+        if pd.isna(e):
+            assert got[s] is None, s
+        else:
+            assert pd.Timestamp(got[s]) == e, f"{s}: spark={got[s]} pandas={e}"
+
+
 def test_month_key_and_iso_date(spark):
     df = spark.createDataFrame([("2024-09-22",)], ["d"])
     out = df.select(
