@@ -375,6 +375,78 @@ def q_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUBE: all 2^2 grouping sets of (region, orderstatus) in ONE pass --
+# partial aggregation applies per grouping set, one shuffle total,
+# versus 4 separate groupBys each rescanning the fact join. Grouping
+# nulls mark the rolled-up dimensions (neither column is null in the
+# data, so no ambiguity).
+# ---------------------------------------------------------------------------
+
+CUBE_SQL = """
+  SELECT r.r_name AS region_name, o.o_orderstatus AS orderstatus,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN region r   ON n.n_regionkey = r.r_regionkey
+  GROUP BY CUBE(1, 2)
+  ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+"""
+
+
+def q_cube_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.cube(
+            F.col("r_name").alias("region_name"),
+            F.col("o_orderstatus").alias("orderstatus"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy(
+            F.col("region_name").asc_nulls_first(),
+            F.col("orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentiles (the sketch-based sibling of q_percentiles):
+# ONE pass, no second selection scan -- the right trade at 100 TB when
+# a bounded rank error is acceptable. Sketch layouts differ between
+# engines (Spark: Greenwald-Khanna; DuckDB: t-digest), so this
+# registers rows-only; tests/test_advanced.py bounds the drift against
+# the exact two-pass answer instead.
+# ---------------------------------------------------------------------------
+
+
+def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(F.col("c_mktsegment").alias("mktsegment"), "o_totalprice")
+    aggs = [
+        F.percentile_approx("o_totalprice", p, 10_000).alias(f"p{tag}")
+        for tag, p in _PCTS
+    ]
+    return joined.groupBy("mktsegment").agg(*aggs).orderBy("mktsegment")
+
+
+# ---------------------------------------------------------------------------
 # Approximate distinct (HLL++). Sketch layouts differ across engines, so
 # this registers rows-only; tests/test_advanced.py bounds the error
 # against the exact count instead.
@@ -401,7 +473,9 @@ ADVANCED_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "percentiles_by_segment": (q_percentiles, PERCENTILES_SQL),
     "string_agg_nations": (q_string_agg, STRING_AGG_SQL),
     "window_event_deltas": (q_window_deltas, WINDOW_DELTAS_SQL),
+    "cube_region_status": (q_cube_region_status, CUBE_SQL),
     # sketch internals are engine-specific: rows-only for the driver,
-    # error bounded vs the exact count in tests
+    # error bounded vs the exact count / exact percentiles in tests
     "approx_distinct_users": (q_approx_distinct, None),
+    "percentiles_by_segment_approx": (q_percentiles_approx, None),
 }

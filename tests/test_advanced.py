@@ -9,6 +9,8 @@ from etl_sales_pandas_sqlserver_spark.plans.advanced_queries import (
     q_approx_distinct,
     q_except,
     q_intersect,
+    q_percentiles,
+    q_percentiles_approx,
 )
 from etl_sales_pandas_sqlserver_spark.plans.temporal_queries import (
     _RANGE_BAND_US,
@@ -23,6 +25,20 @@ def test_approx_distinct_error_bound(spark, sf_small):
     for r in rows:
         rel_err = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
         assert rel_err < 0.15, f"{r.event_type}: approx off by {rel_err:.1%}"
+
+
+def test_approx_percentiles_track_exact(spark, sf_small):
+    """The one-pass sketch percentiles stay within a small relative
+    drift of the exact two-pass selection per segment/percentile."""
+    exact = {r.mktsegment: r for r in q_percentiles(spark, sf_small).collect()}
+    approx = {
+        r.mktsegment: r for r in q_percentiles_approx(spark, sf_small).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for seg in exact:
+        for tag in ("p25", "p50", "p90"):
+            e, a = exact[seg][tag], approx[seg][tag]
+            assert abs(a - e) / max(abs(e), 1.0) < 0.05, (seg, tag, e, a)
 
 
 def test_asof_matches_naive_window(spark, sf_small):
