@@ -13,9 +13,11 @@ from .dedup import QUERIES_EXPORT as DEDUP_QUERIES
 from .multimodal import QUERIES_EXPORT as MULTIMODAL_QUERIES
 from .similarity import QUERIES_EXPORT as SIMILARITY_QUERIES
 from .textstats import TEXT_QUERIES
+from .traindata import TRAINDATA_QUERIES
 
 FUNCTION_QUERIES = {
     **TEXT_QUERIES,
+    **TRAINDATA_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **MULTIMODAL_QUERIES,

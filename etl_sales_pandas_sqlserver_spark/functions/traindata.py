@@ -1,0 +1,324 @@
+"""Training-data curation operators over the ``documents`` /
+``embeddings`` tables: deterministic dataset splitting, stratified
+sampling, vocabulary statistics, token salience, sequence packing and
+embedding quantization -- the standard corpus-prep steps between "raw
+crawl" and "training batches".
+
+Every operator here is expressed in pure JVM-side DataFrame expressions
+(no Python in the hot path) and has a DuckDB oracle twin.
+
+Cross-engine determinism notes:
+
+- **hash split**: the split assignment is the first 4 hex digits of
+  ``md5(doc_id)`` mod 100 -- md5 is bit-identical everywhere, the hex
+  parse is exact integer arithmetic, so Spark and DuckDB agree row by
+  row (and re-runs are reproducible, unlike ``rand()``-based splits).
+- **no float rounding in quantization**: int8 quantization truncates
+  toward zero on BOTH engines (Spark ANSI double->int cast truncates;
+  DuckDB ``CAST(double AS INT)`` ROUNDS, so the oracle spells
+  ``trunc()`` explicitly).
+- **no transcendentals**: token salience uses the rational form
+  ``tf * N / df`` (one double division on identical bigint operands)
+  instead of ``tf * ln(N/df)`` -- ``ln`` is not guaranteed identically
+  rounded across libm implementations.
+
+At 100 TB: split/sample are stateless per-row filters (no shuffle at
+all -- they pipeline into whatever reads them); vocabulary/salience
+aggregate on token (one shuffle, map-side combined); packing is a
+per-stratum running sum (one shuffle on the stratum key); quantization
+is per-row (no shuffle). Nothing here materializes the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split: md5(doc_id) -> bucket 0..99 -> 80/10/10.
+# ---------------------------------------------------------------------------
+
+SPLIT_SQL = """
+  SELECT doc_id,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+             % 100 AS bucket
+    FROM documents
+  )
+  ORDER BY doc_id
+"""
+
+
+def _hash_bucket(key, n: int = 100):
+    """First 16 bits of md5(key-as-string), mod n. Pure JVM, exact."""
+    h = F.md5(key.cast("string").cast("binary"))
+    return F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % n
+
+
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: per-language keep rates applied via the same
+# md5 bucket -- a deterministic analogue of df.sampleBy(). Being a
+# stateless filter it costs zero shuffles and composes with any
+# downstream pipeline (the classic "rebalance languages before
+# training" step).
+# ---------------------------------------------------------------------------
+
+_KEEP_RATES = {"en": 30, "zh": 60, "de": 60, "fr": 60, "es": 60}
+
+SAMPLE_SQL = f"""
+  SELECT doc_id, lang
+  FROM (
+    SELECT doc_id, lang,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER)
+             % 100 AS bucket
+    FROM documents
+  )
+  WHERE bucket < CASE lang
+      WHEN 'en' THEN {_KEEP_RATES["en"]}
+      WHEN 'zh' THEN {_KEEP_RATES["zh"]}
+      WHEN 'de' THEN {_KEEP_RATES["de"]}
+      WHEN 'fr' THEN {_KEEP_RATES["fr"]}
+      ELSE {_KEEP_RATES["es"]} END
+  ORDER BY doc_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = _hash_bucket(F.col("doc_id"))
+    rate = (
+        F.when(F.col("lang") == "en", _KEEP_RATES["en"])
+        .when(F.col("lang") == "zh", _KEEP_RATES["zh"])
+        .when(F.col("lang") == "de", _KEEP_RATES["de"])
+        .when(F.col("lang") == "fr", _KEEP_RATES["fr"])
+        .otherwise(_KEEP_RATES["es"])
+    )
+    return (
+        docs.filter(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary: top-5 tokens per language by frequency (tie -> token
+# asc). Tokenizer = lowercase, split on non-alphanumeric runs --
+# identical regex semantics in Spark and DuckDB; empty fragments
+# filtered on both sides. Plan: explode -> one (lang, token) hash agg
+# (map-side combined), then a 5-row-per-group WindowGroupLimit over
+# the tiny aggregate -- the window never sees raw tokens.
+# ---------------------------------------------------------------------------
+
+TOPK_TOKENS_SQL = """
+  SELECT lang, token, cnt, rank
+  FROM (
+    SELECT lang, token, cnt,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, token) AS rank
+    FROM (
+      SELECT lang, t.token AS token, COUNT(*) AS cnt
+      FROM documents,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(token)
+      WHERE t.token <> ''
+      GROUP BY lang, t.token
+    )
+  )
+  WHERE rank <= 5
+  ORDER BY lang, rank
+"""
+
+
+def _tokens():
+    return F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def q_topk_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(_tokens()).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "token", "cnt", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token salience: tf * (N / df) -- the rational tf-idf variant (no
+# ln, see module docstring), top 20 corpus-wide. df counts DISTINCT
+# documents per token; both tf and df come out of ONE explode pass
+# (count + count-distinct in the same agg). N is a broadcast scalar.
+# ---------------------------------------------------------------------------
+
+TOKEN_SALIENCE_SQL = """
+  WITH toks AS (
+    SELECT doc_id, t.token AS token
+    FROM documents,
+         unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(token)
+    WHERE t.token <> ''
+  ),
+  stats AS (
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM toks GROUP BY token
+  ),
+  n AS (SELECT COUNT(*) AS n_docs FROM documents)
+  SELECT token, tf, df,
+         CAST(tf * n.n_docs AS DOUBLE) / df AS salience
+  FROM stats, n
+  ORDER BY salience DESC, token
+  LIMIT 20
+"""
+
+
+def q_token_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
+    stats = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        stats.join(F.broadcast(n))
+        .select(
+            "token",
+            "tf",
+            "df",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "salience"
+            ),
+        )
+        .orderBy(F.col("salience").desc(), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: assign documents to fixed-budget training
+# sequences (4000 chars) per language, greedy in doc_id order --
+# seq_id = floor(chars-before-this-doc / budget), i.e. the standard
+# "concat and chop" packing. One window cumsum per stratum (shuffle on
+# lang); the output aggregates per sequence. Note a document larger
+# than the budget still lands in one sequence (chop happens at
+# tokenize time downstream); the assignment stays deterministic.
+# ---------------------------------------------------------------------------
+
+_SEQ_BUDGET = 4000
+
+PACK_SEQUENCES_SQL = f"""
+  WITH assigned AS (
+    SELECT lang, doc_id, n_chars,
+           (SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_chars)
+             // {_SEQ_BUDGET} AS seq_id
+    FROM documents
+  )
+  SELECT lang, seq_id, COUNT(*) AS n_docs,
+         SUM(n_chars) AS total_chars,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+  FROM assigned
+  GROUP BY lang, seq_id
+  ORDER BY lang, seq_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum("n_chars").over(w) - F.col("n_chars")
+    # chars-before / budget, truncating division (operands nonnegative,
+    # so trunc == floor == DuckDB's `//`; quotient << 2^53, so the
+    # intermediate double division is exact-enough to cast)
+    assigned = docs.withColumn("seq_id", (before / _SEQ_BUDGET).cast("long"))
+    return (
+        assigned.groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "seq_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization: symmetric per-vector scale
+# (127/max|x|), truncate-toward-zero to int, all element-wise double
+# arithmetic (exact float->double widening first). Per-row only -- at
+# 100 TB this runs fully pipelined inside the scan stage.
+# ---------------------------------------------------------------------------
+
+QUANTIZE_SQL = """
+  SELECT vec_id,
+         CAST(127.0 AS DOUBLE) / mx AS scale,
+         array_to_string(
+           list_transform(
+             embedding,
+             x -> CAST(trunc(CAST(x AS DOUBLE) * (CAST(127.0 AS DOUBLE) / mx))
+                       AS INTEGER)
+           ), ','
+         ) AS qvec
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding,
+                                   x -> abs(CAST(x AS DOUBLE)))) AS mx
+    FROM embeddings
+  )
+  WHERE mx > 0.0
+  ORDER BY vec_id
+"""
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    with_mx = emb.withColumn("mx", mx).filter(F.col("mx") > 0.0)
+    scale = F.lit(127.0) / F.col("mx")
+    qvec = F.transform(
+        "embedding", lambda x: (x.cast("double") * scale).cast("int")
+    )
+    # the int8 vector ships as a CSV string: the driver's value-hash
+    # compares scalar cells, and 'int,int,...' is bit-identical across
+    # engines where a raw list column's representation is not
+    return with_mx.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.array_join(qvec, ",").alias("qvec"),
+    ).orderBy("vec_id")
+
+
+TRAINDATA_QUERIES = {
+    "split_train_val_test": (q_split_train_val_test, SPLIT_SQL),
+    "stratified_sample_docs": (q_stratified_sample, SAMPLE_SQL),
+    "topk_tokens_per_lang": (q_topk_tokens_per_lang, TOPK_TOKENS_SQL),
+    "token_salience": (q_token_salience, TOKEN_SALIENCE_SQL),
+    "pack_training_sequences": (q_pack_sequences, PACK_SEQUENCES_SQL),
+    "quantize_embeddings_int8": (q_quantize_embeddings, QUANTIZE_SQL),
+}
