@@ -442,12 +442,14 @@ def _register_extensions() -> None:
     from .temporal_queries import TEMPORAL_QUERIES
     from .tpch_more import TPCH_MORE_QUERIES
     from .tpch_suite2 import TPCH_SUITE2_QUERIES
+    from .window_queries import WINDOW_QUERIES
 
     QUERIES.update(ANALYTICS_QUERIES)
     QUERIES.update(ADVANCED_QUERIES)
     QUERIES.update(TEMPORAL_QUERIES)
     QUERIES.update(TPCH_MORE_QUERIES)
     QUERIES.update(TPCH_SUITE2_QUERIES)
+    QUERIES.update(WINDOW_QUERIES)
     try:
         from ..functions.registry import FUNCTION_QUERIES
 

@@ -1,0 +1,203 @@
+"""Window-frame analytics over ``events`` plus multi-grain grouping
+sets -- the sliding/rolling aggregations an events pipeline runs for
+feature engineering (rolling means, trailing-window loads, per-entity
+first/last touch, quartile assignment).
+
+Frame determinism: a sliding SUM over doubles is NOT cross-engine
+stable (Spark's removable accumulator subtracts as the frame slides;
+DuckDB uses segment trees -- different fp orders), so every framed sum
+here accumulates in DECIMAL (exact, order-free) and casts back to
+double after the frame. Time-range frames order by ``unix_micros``
+(bigint) on both engines so peer groups and range bounds are integer
+comparisons, not timestamp semantics.
+
+At 100 TB: each query is one shuffle on the partition key (user_id)
+followed by an in-partition sort -- the canonical windowed-events
+layout. Nothing widens rows; no per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+def _dec6(c: str):
+    return F.col(c).cast("decimal(18,6)")
+
+
+# ---------------------------------------------------------------------------
+# Rolling mean over the trailing 7 events per user (ROWS frame).
+# ---------------------------------------------------------------------------
+
+MOVING_AVG_SQL = """
+  SELECT event_id, user_id,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS moving_avg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+  ORDER BY event_id
+"""
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(_dec6("value")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Trailing 1-hour load per user (RANGE frame on event time). The frame
+# bound is a bigint microsecond range, so peers and bounds are exact on
+# both engines regardless of timestamp type.
+# ---------------------------------------------------------------------------
+
+RANGE_1H_SQL = """
+  SELECT event_id, user_id,
+         COUNT(*) OVER w AS n_1h,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+  ORDER BY event_id
+"""
+
+
+def q_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tsu", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(_dec6("value")).over(w).cast("double").alias("sum_1h"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Per-user first/last touch + activity quartile. first/last over the
+# full partition with a total order (ts, event_id); the quartile is
+# ntile(4) over per-user event counts -- both engines assign ntile by
+# identical rank arithmetic once the ORDER BY is total.
+# ---------------------------------------------------------------------------
+
+FIRST_LAST_SQL = """
+  WITH per_user AS (
+    SELECT DISTINCT user_id,
+           first_value(event_type) OVER w AS first_type,
+           last_value(event_type)  OVER w AS last_type,
+           COUNT(*) OVER w AS n_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+  )
+  SELECT user_id, first_type, last_type, n_events,
+         ntile(4) OVER (ORDER BY n_events DESC, user_id) AS activity_quartile
+  FROM per_user
+  ORDER BY user_id
+"""
+
+
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per_user = ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    ).distinct()
+    wq = Window.orderBy(F.col("n_events").desc(), "user_id")
+    return per_user.withColumn(
+        "activity_quartile", F.ntile(4).over(wq)
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS at three grains in one pass -- by nation, by market
+# segment, and the grand total -- over customer x orders revenue.
+# Spark expands grouping sets into a single Expand + one hash agg (one
+# shuffle, map-side combined), not three scans. grouping_id
+# disambiguates the NULL-key rows exactly like DuckDB's GROUPING().
+# ---------------------------------------------------------------------------
+
+GROUPING_SETS_SQL = """
+  SELECT n.n_name AS nation_name, c.c_mktsegment AS mktsegment,
+         GROUPING(n.n_name) * 2 + GROUPING(c.c_mktsegment) AS grp,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  GROUP BY GROUPING SETS ((n.n_name), (c.c_mktsegment), ())
+  ORDER BY grp, nation_name, mktsegment
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    j = j.select(
+        F.col("n_name").alias("nation_name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        "o_totalprice",
+    )
+    return (
+        j.groupingSets(
+            [["nation_name"], ["mktsegment"], []],
+            "nation_name",
+            "mktsegment",
+        )
+        .agg(
+            (
+                F.grouping("nation_name") * 2 + F.grouping("mktsegment")
+            ).alias("grp"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("grp", "nation_name", "mktsegment")
+    )
+
+
+WINDOW_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "window_moving_avg_7": (q_moving_avg, MOVING_AVG_SQL),
+    "window_range_1h_load": (q_range_1h, RANGE_1H_SQL),
+    "window_first_last_touch": (q_first_last, FIRST_LAST_SQL),
+    "grouping_sets_revenue": (q_grouping_sets, GROUPING_SETS_SQL),
+}

@@ -238,7 +238,141 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 3. Streaming deduplication with watermark -- the streaming twin of
+# dedup_exact: emit each (user_id, event_type) pair once. The
+# watermark lets Spark expire dedup state for old event times; with
+# availableNow replay the retained key set equals batch DISTINCT.
+# Only the keys are emitted (which physical row survives a streaming
+# dedup is micro-batch-order-dependent; the key set is not).
+# ---------------------------------------------------------------------------
+
+STREAM_DEDUP_SQL = """
+  SELECT DISTINCT user_id, event_type FROM events
+  ORDER BY user_id, event_type
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("event_time", "1 hour")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _run_to_table(spark, deduped, "append").orderBy(
+        "user_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Sliding-window counts: 2-hour windows every hour, so each event
+# lands in exactly two windows. State is bounded by the watermark (2
+# open windows per key at any event-time frontier). The oracle
+# replays the overlap as a UNION ALL of the two hour-shifted buckets.
+# ---------------------------------------------------------------------------
+
+STREAM_SLIDING_SQL = """
+  WITH hb AS (
+    SELECT epoch_us(ts) // 3600000000 AS h, event_type, value FROM events
+  ),
+  contrib AS (
+    SELECT h AS win_start, event_type, value FROM hb
+    UNION ALL
+    SELECT h - 1 AS win_start, event_type, value FROM hb
+  )
+  SELECT win_start, event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+  FROM contrib
+  GROUP BY 1, 2
+  ORDER BY 1, 2
+"""
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("event_time", "2 hours")
+        .groupBy(
+            F.window("event_time", "2 hours", "1 hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.expr("unix_micros(window.start) div 3600000000").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_table(spark, agg, "complete").orderBy(
+        "win_start", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Stream-static join: streamed orders enriched against the static
+# customer/nation dimensions, aggregated to revenue per nation. The
+# static side is planned per micro-batch (broadcast -- it's dimension
+# sized); no state store is involved at all, which is exactly why the
+# stream-static join is THE scalable enrichment pattern at 100 TB/day.
+# ---------------------------------------------------------------------------
+
+_ORDERS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType(), True),
+        T.StructField("o_custkey", T.LongType(), True),
+        T.StructField("o_orderstatus", T.StringType(), True),
+        T.StructField("o_totalprice", T.DoubleType(), True),
+        T.StructField("o_orderdate", T.TimestampNTZType(), True),
+        T.StructField("o_orderpriority", T.StringType(), True),
+    ]
+)
+
+STREAM_STATIC_JOIN_SQL = """
+  SELECT n.n_name AS nation_name, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1
+  ORDER BY 1
+"""
+
+
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.testdata import load_table
+
+    orders = (
+        spark.readStream.schema(_ORDERS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    agg = joined.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    return _run_to_table(spark, agg, "complete").orderBy("nation_name")
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "stream_hourly_agg": (q_stream_hourly, STREAM_HOURLY_SQL),
     "stream_sessionize_stateful": (q_stream_sessions, STREAM_SESSIONS_SQL),
+    "stream_dedup_keys": (q_stream_dedup, STREAM_DEDUP_SQL),
+    "stream_sliding_2h": (q_stream_sliding, STREAM_SLIDING_SQL),
+    "stream_static_join_nation": (q_stream_static_join, STREAM_STATIC_JOIN_SQL),
 }
