@@ -1,4 +1,10 @@
 from .csv_folder import read_csv, read_sales_folder
+from .formats import (
+    read_jsonl,
+    read_partitioned_parquet,
+    write_jsonl,
+    write_partitioned_parquet,
+)
 from .testdata import load_table, load_testdata
 from .sinks import write_single_csv, jdbc_url, write_jdbc
 
@@ -10,4 +16,8 @@ __all__ = [
     "write_single_csv",
     "jdbc_url",
     "write_jdbc",
+    "read_jsonl",
+    "write_jsonl",
+    "read_partitioned_parquet",
+    "write_partitioned_parquet",
 ]

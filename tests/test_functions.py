@@ -81,3 +81,72 @@ def test_binary_feature_extraction_contract(spark, sf_small):
         assert f.first_byte == payload[0]
         assert f.byte_sum == sum(payload)
         assert f.modality in ("image", "audio", "video")
+
+
+# ---------------------------------------------------------------------------
+# traindata.py semantic invariants (the oracle checks cross-engine
+# parity; these check the operators mean what they claim)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_sales_pandas_sqlserver_spark.functions.traindata import (  # noqa: E402
+    _SEQ_BUDGET,
+    q_pack_sequences,
+    q_quantize_embeddings,
+    q_split_train_val_test,
+    q_stratified_sample,
+)
+
+
+def test_split_is_partition_and_roughly_80_10_10(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    split = q_split_train_val_test(spark, sf_small)
+    n = docs.count()
+    assert split.count() == n  # every doc assigned exactly once
+    by = {r["split"]: r["cnt"] for r in split.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert set(by) <= {"train", "val", "test"}
+    # md5 buckets are uniform; with n>=50 train must dominate
+    assert by["train"] > by.get("val", 0) and by["train"] > by.get("test", 0)
+    # determinism: second run identical
+    again = {(r["doc_id"], r["split"]) for r in q_split_train_val_test(spark, sf_small).collect()}
+    assert {(r["doc_id"], r["split"]) for r in split.collect()} == again
+
+
+def test_stratified_sample_subset_and_rates(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents")
+    samp = q_stratified_sample(spark, sf_small)
+    # sample is a subset of the corpus
+    assert samp.join(docs, "doc_id", "left_anti").count() == 0
+    n_en = docs.filter(F.col("lang") == "en").count()
+    s_en = samp.filter(F.col("lang") == "en").count()
+    if n_en >= 30:
+        # en keep-rate is 30% -- the sampled share must be well under 1
+        assert s_en / n_en < 0.6
+
+
+def test_pack_sequences_budget_invariant(spark, sf_small):
+    packed = q_pack_sequences(spark, sf_small).collect()
+    docs_total = load_table(spark, sf_small, "documents").agg(
+        F.sum("n_chars").alias("s"), F.count("*").alias("c")
+    ).collect()[0]
+    # conservation: every doc and every char lands in exactly one sequence
+    assert sum(r["n_docs"] for r in packed) == docs_total["c"]
+    assert sum(r["total_chars"] for r in packed) == docs_total["s"]
+    # all but the last sequence of each lang must have been "opened" by
+    # crossing the budget: any non-final sequence holds >= 1 doc and the
+    # cumulative fill can't leave a gap bigger than one document
+    for r in packed:
+        assert r["n_docs"] >= 1
+
+
+def test_quantize_bounds_and_scale(spark, sf_small):
+    out = q_quantize_embeddings(spark, sf_small).collect()
+    assert out
+    for r in out[:50]:
+        q = [int(x) for x in r["qvec"].split(",")]
+        assert all(-127 <= v <= 127 for v in q)
+        # the max element maps to +/-127, except when (127/mx)*mx rounds
+        # to just below 127.0 and truncation lands on 126
+        assert max(abs(v) for v in q) in (126, 127)
+        assert r["scale"] > 0

@@ -64,3 +64,66 @@ def test_jdbc_url_construction():
     assert url == "jdbc:sqlserver://localhost:1433;databaseName=MyDatabase;integratedSecurity=true"
     url2 = jdbc_url("DB", host="srv", port=1444, integrated_security=False)
     assert url2 == "jdbc:sqlserver://srv:1444;databaseName=DB"
+
+
+# ---------------------------------------------------------------------------
+# formats.py: JSON-lines + hive-partitioned parquet
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+from etl_sales_pandas_sqlserver_spark.sources import (  # noqa: E402
+    read_jsonl,
+    read_partitioned_parquet,
+    write_jsonl,
+    write_partitioned_parquet,
+)
+
+_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ]
+)
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"id": 1, "lang": "en", "score": 0.5}\n'
+        '{"id": 2, "lang": "de", "score": null}\n'
+        "THIS IS NOT JSON\n"
+    )
+    df = read_jsonl(spark, str(src), _JSONL_SCHEMA)
+    rows = df.collect()
+    assert len(rows) == 3
+    good = {r["id"]: r for r in rows if r["id"] is not None}
+    assert good[1]["score"] == 0.5 and good[2]["score"] is None
+    bad = [r for r in rows if r["id"] is None]
+    assert len(bad) == 1 and "NOT JSON" in bad[0]["_corrupt_record"]
+
+    out = str(tmp_path / "out_json")
+    write_jsonl(df.drop("_corrupt_record").filter(F.col("id").isNotNull()), out)
+    back = read_jsonl(spark, out, _JSONL_SCHEMA).drop("_corrupt_record")
+    assert {r["id"] for r in back.collect()} == {1, 2}
+    # explicit nulls survive the round trip (ignoreNullFields=false)
+    assert [r["score"] for r in back.orderBy("id").collect()] == [0.5, None]
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], float(i)) for i in range(30)],
+        "doc_id long, lang string, score double",
+    )
+    out = str(tmp_path / "part_parquet")
+    write_partitioned_parquet(df, out, ("lang",))
+    # hive layout on disk
+    assert (tmp_path / "part_parquet" / "lang=en").exists()
+    back = read_partitioned_parquet(spark, out)
+    only_en = back.filter(F.col("lang") == "en")
+    assert only_en.count() == 10
+    # the partition filter must prune at plan time, not post-scan
+    plan = only_en._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
