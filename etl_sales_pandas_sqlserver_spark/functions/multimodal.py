@@ -181,6 +181,87 @@ def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Frame sampling plumbing: chop the "video" payloads into fixed-size
+# byte frames and keep every Nth -- the exact batch shape a real
+# ffmpeg-backed sampler produces (list-of-frames per row), with the
+# codec swapped for deterministic byte slicing. The kernel slices
+# frames vectorized per Arrow batch; only the per-doc rollup leaves the
+# map side. The oracle recomputes frame boundaries from the text
+# (ASCII: byte i == ascii(char i)).
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES = 16
+_FRAME_EVERY_N = 4
+
+_FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("sampled_first_sum", T.LongType()),
+    ]
+)
+
+
+def sample_frames_fake(
+    payload: bytes, frame_size: int = _FRAME_BYTES, every_n: int = _FRAME_EVERY_N
+) -> list[bytes]:
+    """Deterministic stand-in for :func:`sample_frames`: fixed-size
+    byte windows, every Nth kept. Same output contract (list of frame
+    payloads) a real decoder would produce."""
+    n = len(payload) // frame_size
+    return [
+        payload[i * frame_size : (i + 1) * frame_size]
+        for i in range(0, n, every_n)
+    ]
+
+
+def _frame_sample_kernel(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_frames = payloads.map(lambda b: len(b) // _FRAME_BYTES).astype("int64")
+        sampled = payloads.map(sample_frames_fake)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_frames": n_frames,
+                "n_sampled": sampled.map(len).astype("int64"),
+                "sampled_first_sum": sampled.map(
+                    lambda fs: sum(int(f[0]) for f in fs if len(f))
+                ).astype("int64"),
+            }
+        )
+
+
+FRAME_SAMPLE_SQL = f"""
+  SELECT doc_id,
+         length(text) // {_FRAME_BYTES} AS n_frames,
+         CAST(ceil((length(text) // {_FRAME_BYTES})
+                   / CAST({_FRAME_EVERY_N} AS DOUBLE)) AS BIGINT) AS n_sampled,
+         CAST(coalesce(list_sum(list_transform(
+             range(0, length(text) // {_FRAME_BYTES}, {_FRAME_EVERY_N}),
+             i -> ascii(substr(text, i * {_FRAME_BYTES} + 1, 1)))), 0)
+           AS BIGINT) AS sampled_first_sum
+  FROM documents
+  WHERE CAST(doc_id % 3 AS INTEGER) = 2
+  ORDER BY doc_id
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    video = with_binary_payload(docs.select("doc_id", "source", "text")).filter(
+        F.col("modality") == "video"
+    )
+    return video.select("doc_id", "payload").mapInPandas(
+        _frame_sample_kernel, schema=_FRAME_SAMPLE_SCHEMA
+    ).orderBy("doc_id")
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "multimodal_binary_features": (q_binary_features, BINARY_FEATURES_SQL),
+    "multimodal_frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
 }

@@ -41,6 +41,8 @@ regression is visible without overclaiming.
 
 from __future__ import annotations
 
+import os
+import tempfile
 from typing import Callable, Iterator
 
 import numpy as np
@@ -334,10 +336,111 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _global_topk(scored)
 
 
+# ---------------------------------------------------------------------------
+# Indexed LSH ANN: the *serving* layout. q_topk_ann probes by masking a
+# full-corpus scan (IO = O(corpus) per query batch); this variant
+# materializes the corpus ONCE as bucket-partitioned parquet and lets
+# partition pruning skip every non-probed bucket's files at plan time.
+# Same hyperplanes, radius and rerank as q_topk_ann, so results are
+# identical -- asserted in tests -- while repeated query batches read
+# only |probe| / 2^_N_PLANES of the corpus. At 100 TB the index build
+# is one shuffle-free pass (bucket is computed per-row), and serving
+# IO is proportional to the probed buckets, the property that makes
+# repeated ANN serving viable at all.
+# ---------------------------------------------------------------------------
+
+_ANN_INDEX_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_ann_index")
+
+
+def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the bucket-partitioned vector index (idempotent per
+    sf_dir; rebuild = delete the directory)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_ANN_INDEX_ROOT, tag)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        import pandas as pd  # noqa: F401
+
+        vecs = _vectors(spark, sf_dir)
+        bcp = spark.sparkContext.broadcast(_hyperplanes())
+
+        def assign(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            pl = bcp.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                yield pdf.assign(bucket=_bucket_of(m, pl))
+
+        bucketed = vecs.mapInPandas(
+            assign, schema="vec_id long, v array<double>, bucket long"
+        )
+        bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return path
+
+
+def q_topk_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    vecs = _vectors(spark, sf_dir)
+    q_ids, q_mat = _collect_queries(vecs)
+    q_nrm = _seq_norms(q_mat)
+    planes = _hyperplanes()
+    q_buckets = _bucket_of(q_mat, planes)
+
+    # the union probe set over all queries -> a partition-pruning filter
+    all_b = np.arange(1 << _N_PLANES, dtype=np.int64)
+    probe = sorted(
+        {
+            int(b)
+            for qb in q_buckets
+            for b in all_b[_POPCOUNT[np.bitwise_xor(all_b, qb)] <= _PROBE_RADIUS]
+        }
+    )
+    index_path = build_ann_index(spark, sf_dir)
+    pruned = spark.read.parquet(index_path).filter(F.col("bucket").isin(probe))
+
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm, q_buckets))
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        qids, qmat, qnrm, qbuck = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cand_ids = pdf["vec_id"].to_numpy()
+            buckets = pdf["bucket"].to_numpy()
+            m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            nrm = _seq_norms(m)
+            out: list[tuple[int, int, float]] = []
+            for qi in range(len(qids)):
+                if qnrm[qi] == 0.0:
+                    continue
+                # per-query radius *within* the union probe set (files
+                # outside it were never read)
+                ham = _POPCOUNT[np.bitwise_xor(buckets, qbuck[qi])]
+                keep = (
+                    (ham <= _PROBE_RADIUS)
+                    & (cand_ids != qids[qi])
+                    & (nrm > 0.0)
+                )
+                if not keep.any():
+                    continue
+                cos = _seq_matmul(m[keep], qmat[qi : qi + 1])[:, 0] / (
+                    qnrm[qi] * nrm[keep]
+                )
+                out.extend(_local_topk(cand_ids[keep], cos, int(qids[qi]), _TOP_K))
+            yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
+
+    scored = pruned.mapInPandas(scan, schema=_PAIR_SCHEMA)
+    return _global_topk(scored)
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "similarity_topk_exact": (q_topk_exact, TOPK_EXACT_SQL),
     # approximate by construction: rows-only for the driver, recall@k
     # asserted against the exact baseline in tests/test_functions.py
     "similarity_topk_ann": (q_topk_ann, None),
     "similarity_topk_ivf": (q_topk_ivf, None),
+    # identical results to similarity_topk_ann (asserted in tests);
+    # reads a bucket-partitioned index with partition pruning
+    "similarity_topk_ann_indexed": (q_topk_ann_indexed, None),
 }

@@ -286,9 +286,92 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# PII redaction: mask emails/phone numbers before training. The regex
+# subset used is semantically identical under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, no lookaround.
+# The synthetic corpus carries no natural PII, so the query plants
+# deterministic contact strings on a doc_id-keyed subset (identical
+# construction in both engines) purely to exercise the masking; the
+# redaction itself is the reusable ``redact_pii`` expression.
+# At 100 TB this is a stateless per-row projection -- no shuffle, runs
+# fused into the scan.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+
+
+def redact_pii(col):
+    """Mask emails then phone-shaped digit runs."""
+    return F.regexp_replace(
+        F.regexp_replace(col, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+
+
+PII_REDACT_SQL = f"""
+  WITH enriched AS (
+    SELECT doc_id,
+           text
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ' call +1 555 000 ' || CAST(1000 + doc_id % 9000
+                                                     AS VARCHAR)
+                     ELSE '' END AS text
+    FROM documents
+  )
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER)
+           AS n_emails,
+         CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INTEGER)
+           AS n_phones,
+         md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>',
+                                           'g'),
+                            '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+  FROM enriched
+  ORDER BY doc_id
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    email_tail = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+    ).otherwise("")
+    phone_tail = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(
+            F.lit(" call +1 555 000 "),
+            (1000 + F.col("doc_id") % 9000).cast("string"),
+        ),
+    ).otherwise("")
+    enriched = docs.select(
+        "doc_id", F.concat("text", email_tail, phone_tail).alias("text")
+    )
+    return enriched.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(redact_pii(F.col("text")).cast("binary")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 TEXT_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "text_token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "text_quality_scores": (q_quality_scores, QUALITY_SCORES_SQL),
     "text_lang_id": (q_lang_id, LANG_ID_SQL),
     "text_fingerprint": (q_fingerprint, FINGERPRINT_SQL),
+    "text_pii_redact": (q_pii_redact, PII_REDACT_SQL),
 }

@@ -150,3 +150,29 @@ def test_quantize_bounds_and_scale(spark, sf_small):
         # to just below 127.0 and truncation lands on 126
         assert max(abs(v) for v in q) in (126, 127)
         assert r["scale"] > 0
+
+
+def test_ann_indexed_matches_scan_ann_and_prunes(spark, sf_small, tmp_path, monkeypatch):
+    from etl_sales_pandas_sqlserver_spark.functions import similarity as sim
+
+    # isolate the index under tmp so the test never reuses a stale build
+    monkeypatch.setattr(sim, "_ANN_INDEX_ROOT", str(tmp_path / "ann_index"))
+    scan = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 12))
+        for r in sim.q_topk_ann(spark, sf_small).collect()
+    }
+    indexed_df = sim.q_topk_ann_indexed(spark, sf_small)
+    indexed = {
+        (r.query_id, r.neighbor_id, round(r.cosine, 12))
+        for r in indexed_df.collect()
+    }
+    assert indexed == scan  # same probe semantics, pruned IO
+    # the bucket filter must prune partitions at plan time
+    import os
+
+    idx = os.path.join(str(tmp_path / "ann_index"), os.path.basename(sf_small))
+    pruned = spark.read.parquet(idx).filter(F.col("bucket").isin([0, 1, 2]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan or "bucket#" in plan.split(
+        "PartitionFilters"
+    )[1][:200], plan
