@@ -374,7 +374,13 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
         bucketed = vecs.mapInPandas(
             assign, schema="vec_id long, v array<double>, bucket long"
         )
-        bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+        # co-locate each bucket before writing: one task -> one file per
+        # bucket directory, instead of (shuffle.partitions x buckets)
+        # fragment files whose per-file commit overhead dominates the
+        # build (and whose footer reads tax every probe)
+        bucketed.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(path)
     return path
 
 

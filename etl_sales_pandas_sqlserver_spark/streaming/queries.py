@@ -260,9 +260,17 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    return _run_to_table(spark, deduped, "append").orderBy(
-        "user_id", "event_type"
-    )
+    # dropDuplicates keeps a state store per shuffle partition; local
+    # state-store opens serialize (same measurement as sessionize below:
+    # 32 stores cost ~20s of open overhead, 8 cost ~2s). On a cluster
+    # stores scale with executors; locally 8 cover the keyspace fine.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        out = _run_to_table(spark, deduped, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.orderBy("user_id", "event_type")
 
 
 # ---------------------------------------------------------------------------
