@@ -1,3 +1,3 @@
-from . import strings, numeric, nulls, dates, dedup, setops
+from . import strings, numeric, nulls, dates, dedup, setops, scale
 
-__all__ = ["strings", "numeric", "nulls", "dates", "dedup", "setops"]
+__all__ = ["strings", "numeric", "nulls", "dates", "dedup", "setops", "scale"]

@@ -465,6 +465,72 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unpivot (melt): the wide-to-long inverse of pivot_order_status --
+# per-nation conditional revenue by status as wide columns, melted to
+# (nation, status, revenue) rows. Spark's df.unpivot is a zero-shuffle
+# Expand over the aggregated (tiny) frame; the oracle spells the same
+# melt as UNION ALL (portable everywhere).
+# ---------------------------------------------------------------------------
+
+UNPIVOT_SQL = """
+  WITH wide AS (
+    SELECT n.n_name AS nation_name,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'F'
+                         THEN CAST(o.o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS f,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'O'
+                         THEN CAST(o.o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS o,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'P'
+                         THEN CAST(o.o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS p
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+  )
+  SELECT nation_name, 'F' AS status, f AS revenue FROM wide
+  UNION ALL
+  SELECT nation_name, 'O' AS status, o AS revenue FROM wide
+  UNION ALL
+  SELECT nation_name, 'P' AS status, p AS revenue FROM wide
+  ORDER BY nation_name, status
+"""
+
+
+def q_unpivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def status_sum(s: str):
+        return (
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == s,
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias(s.lower())
+        )
+
+    wide = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(status_sum("F"), status_sum("O"), status_sum("P"))
+    )
+    return (
+        wide.unpivot(
+            ["nation_name"], ["f", "o", "p"], "status", "revenue"
+        )
+        .withColumn("status", F.upper("status"))
+        .orderBy("nation_name", "status")
+    )
+
+
 ADVANCED_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "tpch_q3_top_revenue": (q_tpch_q3, TPCH_Q3_SQL),
     "tpch_q6_forecast_revenue": (q_tpch_q6, TPCH_Q6_SQL),
@@ -474,6 +540,7 @@ ADVANCED_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "string_agg_nations": (q_string_agg, STRING_AGG_SQL),
     "window_event_deltas": (q_window_deltas, WINDOW_DELTAS_SQL),
     "cube_region_status": (q_cube_region_status, CUBE_SQL),
+    "unpivot_status_revenue": (q_unpivot_status_revenue, UNPIVOT_SQL),
     # sketch internals are engine-specific: rows-only for the driver,
     # error bounded vs the exact count / exact percentiles in tests
     "approx_distinct_users": (q_approx_distinct, None),

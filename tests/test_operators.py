@@ -173,3 +173,76 @@ def test_bround_is_half_even(spark):
     df = spark.createDataFrame([(0.125,), (0.135,)], ["x"])
     vals = [r["v"] for r in df.select(numeric.bround2("x").alias("v")).collect()]
     assert vals == [0.12, 0.14]
+
+
+# ---------------------------------------------------------------------------
+# operators/scale.py: bucketed co-located joins + salted skew handling
+# ---------------------------------------------------------------------------
+
+from etl_sales_pandas_sqlserver_spark.operators.scale import (  # noqa: E402
+    bucketed_join,
+    salted_agg_count,
+    salted_join,
+    write_bucketed,
+)
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    # tables land in the default warehouse dir (spark-warehouse/ in
+    # cwd, gitignored); warehouse.dir is a static conf on a live session
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed(left, "t_bleft", ["k"], 8, sort_cols=["k"])
+    write_bucketed(right, "t_bright", ["k"], 8, sort_cols=["k"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast so the planner picks sort-merge (the
+        # shape bucketing exists for -- two FACT tables; broadcast is
+        # the right answer for these test-sized inputs otherwise)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = bucketed_join(spark, "t_bleft", "t_bright", ["k"])
+        assert j.count() == 1000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # matching bucketing on both sides -> no shuffle on either side
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bleft")
+        spark.sql("DROP TABLE IF EXISTS t_bright")
+
+
+def test_salted_join_equals_plain_join(spark):
+    # skewed fact: 90% of rows share key 7
+    fact = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    plain = fact.join(dim, "k").selectExpr("k", "v", "w")
+    salted = salted_join(fact, dim, "k").selectExpr("k", "v", "w")
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_agg_count_equals_groupby(spark):
+    df = spark.range(0, 10000).select(
+        F.when(F.col("id") % 5 < 4, F.lit("hot"))
+        .otherwise((F.col("id") % 50).cast("string"))
+        .alias("k")
+    )
+    direct = {
+        (r["k"], r["cnt"])
+        for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    salted = {(r["k"], r["n"]) for r in salted_agg_count(df, "k").collect()}
+    assert direct == salted
