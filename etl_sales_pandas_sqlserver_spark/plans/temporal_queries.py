@@ -251,8 +251,145 @@ def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension versioning. The testdata has no change feed, so
+# the updates are DERIVED deterministically: each customer's first 3
+# orders act as segment-change events (the new segment value keyed off
+# the order priority). Version intervals come from lead() over the
+# per-key change sequence -- one window shuffle on the dimension key,
+# the canonical SCD2 build. valid_from/valid_to are epoch micros with
+# +/- infinity spelled as LONG sentinels (portable; no timestamp
+# arithmetic).
+# ---------------------------------------------------------------------------
+
+_TS_MAX = 9_223_372_036_854_775_807  # open-ended validity sentinel
+
+_PRIORITY_SEGMENT = """
+  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'PRIORITY'
+       WHEN o_orderpriority = '5-LOW' THEN 'LOW_TOUCH'
+       ELSE 'STANDARD' END
+"""
+
+SCD2_SQL = f"""
+  WITH changes AS (
+    SELECT * FROM (
+      SELECT o_custkey AS custkey,
+             epoch_us(o_orderdate) AS change_us,
+             {_PRIORITY_SEGMENT} AS segment,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+  ),
+  base AS (
+    SELECT c_custkey AS custkey, 0 AS rn, c_mktsegment AS segment,
+           CAST(0 AS BIGINT) AS change_us
+    FROM customer
+  ),
+  versions AS (
+    SELECT custkey, rn, segment, change_us AS valid_from_us,
+           coalesce(lead(change_us) OVER (PARTITION BY custkey ORDER BY rn),
+                    {_TS_MAX}) AS valid_to_us
+    FROM (SELECT custkey, rn, segment, change_us FROM base
+          UNION ALL
+          SELECT custkey, rn, segment, change_us FROM changes)
+  )
+  SELECT custkey, rn AS version, segment, valid_from_us, valid_to_us
+  FROM versions
+  ORDER BY custkey, version
+"""
+
+
+def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "change_us"
+            ),
+            F.expr(_PRIORITY_SEGMENT).alias("segment"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    base = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit(0).alias("rn"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0).cast("long").alias("change_us"),
+    )
+    stacked = base.unionByName(changes)
+    wv = Window.partitionBy("custkey").orderBy("rn")
+    return stacked.select(
+        "custkey",
+        F.col("rn").alias("version"),
+        "segment",
+        F.col("change_us").alias("valid_from_us"),
+        F.coalesce(
+            F.lead("change_us").over(wv), F.lit(_TS_MAX).cast("long")
+        ).alias("valid_to_us"),
+    )
+
+
+def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scd2_versions(spark, sf_dir).orderBy("custkey", "version")
+
+
+# ---------------------------------------------------------------------------
+# Temporal dimension join: each order joins the dim version valid AT
+# ITS ORDER TIME ([valid_from, valid_to) interval). Equi-join on
+# custkey carries the shuffle; the interval predicate is a residual
+# over the handful of versions per key -- bounded fan-in, no range
+# explosion. A boundary-time order (change_us == o_orderdate of the
+# change's own order) matches the NEW version (from-inclusive). Output
+# is the per-segment order rollup (small), proving every order matched
+# exactly one version.
+# ---------------------------------------------------------------------------
+
+TEMPORAL_DIM_JOIN_SQL = f"""
+  WITH versions AS ({SCD2_SQL.replace("ORDER BY custkey, version", "")})
+  SELECT v.segment AS segment_at_order, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS revenue
+  FROM orders o
+  JOIN versions v
+    ON v.custkey = o.o_custkey
+   AND epoch_us(o.o_orderdate) >= v.valid_from_us
+   AND epoch_us(o.o_orderdate) <  v.valid_to_us
+  GROUP BY 1
+  ORDER BY 1
+"""
+
+
+def q_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    versions = _scd2_versions(spark, sf_dir)
+    ots = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    j = orders.join(
+        versions,
+        (orders.o_custkey == versions.custkey)
+        & (ots >= versions.valid_from_us)
+        & (ots < versions.valid_to_us),
+    )
+    return (
+        j.groupBy(F.col("segment").alias("segment_at_order"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment_at_order")
+    )
+
+
 TEMPORAL_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "asof_join_clicks_purchases": (q_asof_join, ASOF_SQL),
     "range_join_event_pairs": (q_range_join, RANGE_JOIN_SQL),
     "time_bucket_rollup": (q_time_bucket_rollup, TIME_BUCKET_SQL),
+    "scd2_customer_versions": (q_scd2_versions, SCD2_SQL),
+    "temporal_dim_join_segments": (q_temporal_dim_join, TEMPORAL_DIM_JOIN_SQL),
 }

@@ -246,3 +246,42 @@ def test_salted_agg_count_equals_groupby(spark):
     }
     salted = {(r["k"], r["n"]) for r in salted_agg_count(df, "k").collect()}
     assert direct == salted
+
+
+# ---------------------------------------------------------------------------
+# operators/quality.py: one-pass expectation suite
+# ---------------------------------------------------------------------------
+
+from etl_sales_pandas_sqlserver_spark.operators.quality import (  # noqa: E402
+    expect_accepted_values,
+    expect_min_max,
+    expect_not_null,
+    expect_row_count_between,
+    expect_unique,
+    run_expectations,
+)
+from etl_sales_pandas_sqlserver_spark.sources.testdata import load_table  # noqa: E402
+
+
+def test_expectations_single_pass(spark, sf_small):
+    orders = load_table(spark, sf_small, "orders")
+    n = orders.count()
+    res = run_expectations(
+        orders,
+        [
+            expect_row_count_between(1, 10_000_000),
+            expect_not_null("o_orderkey"),
+            expect_unique("o_orderkey"),
+            expect_accepted_values("o_orderstatus", ["F", "O", "P"]),
+            expect_min_max("o_totalprice", 0.0, 1e9),
+            # a failing check: order keys are NOT all equal to 1
+            expect_accepted_values("o_orderkey", [1]),
+        ],
+    )
+    assert res[f"row_count_between_1_10000000"]["ok"]
+    assert res["row_count_between_1_10000000"]["value"] == n
+    assert res["not_null_o_orderkey"]["ok"]
+    assert res["unique_o_orderkey"]["ok"]
+    assert res["accepted_values_o_orderstatus"]["ok"]
+    assert res["range_o_totalprice"]["ok"]
+    assert not res["accepted_values_o_orderkey"]["ok"]
