@@ -602,10 +602,101 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 6. Duplicate-cluster resolution: pair list -> connected components.
+# Near-dup detectors emit PAIRS; deduping a corpus needs CLUSTERS (pick
+# one canonical doc per component, drop the rest). Labels converge by
+# min-label propagation: each round every node takes the min label in
+# its neighborhood; rounds needed = graph diameter. Verified near-dup
+# components are near-cliques (every surviving pair passed the exact
+# Jaccard check), so diameter is small and 2-3 rounds suffice; for
+# general graphs the alternating large-star/small-star transform is the
+# O(log n)-round scale path (same join shape per round). Each round is
+# one shuffle of (edge, label) keyed by node -- never the text -- and
+# lineage is cut per round with localCheckpoint so plans stay flat.
+# ---------------------------------------------------------------------------
+
+
+def cluster_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """(a_id, b_id) duplicate pairs -> (doc_id, cluster_id) where
+    cluster_id = min doc_id of the connected component. Only docs that
+    appear in some pair are emitted (singletons need no resolution)."""
+    edges = pairs.select(
+        F.col("a_id").alias("s"), F.col("b_id").alias("d")
+    ).unionByName(pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d")))
+    labels = (
+        edges.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("d"), F.col("lbl").alias("dl")),
+                "d",
+            )
+            .groupBy("s")
+            .agg(F.min("dl").alias("nm"))
+            .withColumnRenamed("s", "node")
+        )
+        stepped = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                "lbl",
+                F.least("lbl", F.coalesce("nm", "lbl")).alias("new_lbl"),
+            )
+            .localCheckpoint(eager=True)  # one materialization per round
+        )
+        changed = stepped.filter(F.col("new_lbl") < F.col("lbl")).count()
+        labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters over the MinHash-LSH verified pairs (the scale path;
+    identical to the exact pair list on this data -- the minhash oracle
+    asserts that)."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    return cluster_components(pairs).orderBy("doc_id")
+
+
+#: DuckDB oracle: transitive closure by recursive CTE (reach set per
+#: node), cluster_id = min(node, min reachable node). Exponential-ish
+#: on big components but exact at test scale.
+CLUSTER_COMPONENTS_SQL = f"""
+  WITH RECURSIVE {_SHINGLES_CTE},
+  dup AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= {_JACCARD_THRESHOLD}
+  ),
+  edges AS (
+    SELECT a_id AS s, b_id AS d FROM dup
+    UNION ALL
+    SELECT b_id AS s, a_id AS d FROM dup
+  ),
+  walk(node, reach) AS (
+    SELECT s, d FROM edges
+    UNION
+    SELECT w.node, e.d FROM walk w JOIN edges e ON e.s = w.reach
+  )
+  SELECT node AS doc_id, LEAST(node, MIN(reach)) AS cluster_id
+  FROM walk GROUP BY node ORDER BY doc_id
+"""
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "dedup_exact": (q_exact_dedup, EXACT_DEDUP_SQL),
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _EXACT_JACCARD_PAIRS_SQL),
     "dedup_minhash_lsh": (q_minhash_lsh_pairs, _EXACT_JACCARD_PAIRS_SQL),
     "dedup_simhash": (q_simhash_pairs, SIMHASH_SQL),
     "dedup_embedding_cosine": (q_embedding_cosine_pairs, EMBEDDING_COSINE_SQL),
+    "dedup_clusters": (q_dedup_clusters, CLUSTER_COMPONENTS_SQL),
 }

@@ -176,3 +176,26 @@ def test_ann_indexed_matches_scan_ann_and_prunes(spark, sf_small, tmp_path, monk
     assert "PartitionFilters: [bucket" in plan or "bucket#" in plan.split(
         "PartitionFilters"
     )[1][:200], plan
+
+
+# ---------------------------------------------------------------------------
+# functions/dedup.py: cluster_components (pairs -> connected components)
+# ---------------------------------------------------------------------------
+
+from etl_sales_pandas_sqlserver_spark.functions.dedup import (  # noqa: E402
+    cluster_components,
+)
+
+
+def test_cluster_components_chain_and_clique(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) plus a
+    # disjoint triangle 10-11-12; singleton 99 has no pairs -> absent
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        ["a_id", "b_id"],
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in cluster_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (12, 10)}
