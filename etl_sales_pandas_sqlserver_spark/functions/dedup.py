@@ -19,19 +19,20 @@ Scale design (the whole point -- these run over 100 TB of text):
   j>=0.96, the planted-dup range), so the verified output equals the
   exact answer on this data -- and the oracle asserts exactly that.
 - **simhash**: 60-bit SimHash over *shingle* features with a portable
-  pair of 31-bit polynomial hashes combined into one 62-bit feature
-  hash (expressible in both Spark and DuckDB SQL, so the oracle checks
-  the full pipeline including the banding); 5 bands x 12 bits,
+  pair of 31-bit md5-slice token hashes combined into one 62-bit
+  feature hash (expressible in both Spark and DuckDB SQL, so the
+  oracle checks the full pipeline including the banding); 5 bands x 12
+  bits,
   hamming <= _SIMHASH_HAMMING candidates, exact-Jaccard verified.
   Band width is the scale lever: 12-bit bands have 4096 values, so
   unrelated-doc band collisions are ~C(n,2)/2^12 per band instead of
   the ~C(n,2)/2^6 a 6-bit band admits -- the round-1 24-bit version
   produced ~320k candidate pairs at sf0.1; this geometry produces
-  ~18k band candidates / ~3.5k after the hamming cut (measured), with
-  the same 24/25 recall of the exact Jaccard answer round 1 had
-  (the miss is an hamming-11 outlier; minhash is the high-recall
-  path). Geometry swept empirically: 4x15 recalls 20/25, 6x10 costs
-  5x the candidates for no recall gain over 5x12.
+  ~18k band candidates / ~3.5k after the hamming cut (measured), and
+  recalls 23/25 of the exact Jaccard answer at sf0.01 and 237/249 at
+  sf0.1 (the misses are high-hamming outliers; minhash is the
+  high-recall path). Geometry swept empirically: 4x15 recalls 20/25,
+  6x10 costs 5x the candidates for no recall gain over 5x12.
   Features are 3-gram shingles, NOT tokens: on a small vocabulary
   token-level simhash degenerates (most docs share most tokens ->
   correlated bit majorities -> giant LSH buckets); shingles keep
@@ -272,26 +273,30 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HASH_MOD = 2_147_483_647
 _HASH_SHIFT = 2_147_483_648  # 2^31
 
-#: Spark-side portable token hash: left fold (acc*mult + codepoint) % p.
-#: Hashing is two-level — each token hashed ONCE per occurrence, then a
-#: shingle feature combines its three token hashes arithmetically. The
-#: flat spelling (char-fold over each ~56-char shingle string) does 3x
-#: the character work since every token sits in three shingles; measured
-#: at sf0.1 the two-level form cut the simhash signature stage ~3x.
-#: fold a pre-extracted codepoint array (lambda var `cs`) -- extracting
-#: the chars ONCE and folding twice halves the substring/ascii work
-#: versus re-extracting per multiplier
-def _hash_spark_cs(mult: int) -> str:
+#: Portable token hash: md5(token), then two DISJOINT 14-hex-digit
+#: (56-bit) slices reduced mod 2^31-1 -> two independent 31-bit hashes
+#: per token. Hashing is two-level -- each token hashed ONCE per
+#: occurrence, then a shingle feature combines its three token hashes
+#: arithmetically. md5 is a native function on both engines, so the
+#: Spark hot path has NO per-character lambda work (the earlier
+#: char-fold polynomial hash spent ~2.6s of interpreted higher-order
+#: lambdas at sf0.1; this form is a codegen'd md5 + conv per token).
+#: Spark parses the hex slice with conv(); DuckDB has no hex-parse
+#: function so the oracle folds the 14 hex digits -- fine, the oracle
+#: only ever runs at sf0.01.
+def _hash_spark_md5(start: int) -> str:
     return (
-        f"aggregate(cs, CAST(0 AS BIGINT), (acc, x) -> (acc * {mult} + x) % {_HASH_MOD})"
+        f"CAST(conv(substring(md5(tok), {start}, 14), 16, 10) AS BIGINT)"
+        f" % {_HASH_MOD}"
     )
 
 
-def _hash_duck(mult: int) -> str:
+def _hash_duck(start: int) -> str:
     return (
         "list_reduce(list_prepend(CAST(0 AS BIGINT),"
-        " list_transform(range(1, length(tok) + 1), i -> ascii(substr(tok, i, 1)))),"
-        f" (acc, x) -> (acc * {mult} + x) % {_HASH_MOD})"
+        f" list_transform(range({start}, {start + 14}), i ->"
+        " CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT))),"
+        f" (acc, x) -> acc * 16 + x) % {_HASH_MOD}"
     )
 
 
@@ -344,8 +349,8 @@ def _simhash_sql() -> str:
   ),
   simth AS (
     SELECT doc_id,
-           list_transform(w, tok -> {_hash_duck(31)}) AS th1,
-           list_transform(w, tok -> {_hash_duck(37)}) AS th2
+           list_transform(w, tok -> {_hash_duck(1)}) AS th1,
+           list_transform(w, tok -> {_hash_duck(15)}) AS th2
     FROM simw
   ),
   hashed AS (
@@ -388,19 +393,14 @@ SIMHASH_SQL = _simhash_sql()
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # lambda vars `tok` / `cs` bound by the transforms below; codepoints
-    # extracted once per token, folded twice (multipliers 31 and 37)
-    codepoints = (
-        "transform(w, tok -> transform(sequence(1, length(tok)),"
-        " i -> ascii(substring(tok, i, 1))))"
-    )
+    # lambda var `tok` bound by the transforms below; one native md5
+    # per token yields both 31-bit hashes (disjoint hex slices)
     hashed = (
         docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
-        .select("doc_id", F.expr(codepoints).alias("wcs"))
         .select(
             "doc_id",
-            F.expr(f"transform(wcs, cs -> {_hash_spark_cs(31)})").alias("th1"),
-            F.expr(f"transform(wcs, cs -> {_hash_spark_cs(37)})").alias("th2"),
+            F.expr(f"transform(w, tok -> {_hash_spark_md5(1)})").alias("th1"),
+            F.expr(f"transform(w, tok -> {_hash_spark_md5(15)})").alias("th2"),
         )
         .select("doc_id", F.explode(F.expr(_SIMHASH_FEATURES_SPARK)).alias("h"))
     )
@@ -621,9 +621,15 @@ def cluster_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """(a_id, b_id) duplicate pairs -> (doc_id, cluster_id) where
     cluster_id = min doc_id of the connected component. Only docs that
     appear in some pair are emitted (singletons need no resolution)."""
-    edges = pairs.select(
-        F.col("a_id").alias("s"), F.col("b_id").alias("d")
-    ).unionByName(pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d")))
+    edges = (
+        pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d"))
+        .unionByName(
+            pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d"))
+        )
+        # materialize ONCE -- without this every propagation round
+        # re-executes the full upstream pair-detection pipeline
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("s").alias("node"))
         .distinct()
