@@ -125,7 +125,16 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_table(spark, agg, "complete").orderBy("hour_bucket", "event_type")
+    # same state-store sizing as the stateful queries below: partition
+    # count = store count, fixed at stream start; 8 stores cover the
+    # ~1.2k (hour, type) groups and cut serialized local store opens
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        out = _run_to_table(spark, agg, "complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.orderBy("hour_bucket", "event_type")
 
 
 # ---------------------------------------------------------------------------
