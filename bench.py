@@ -48,6 +48,25 @@ def main() -> None:
     warm.mapInPandas(lambda it: it, schema=warm.schema).write.format(
         "noop"
     ).mode("overwrite").save()
+    # streaming-engine warmup: the first writeStream.start() in a
+    # process pays micro-batch engine + state-store provider init;
+    # charge that here, not to whichever stream query runs first
+    import tempfile
+
+    sq = (
+        # the file stream source wants a directory; glob down to region
+        spark.readStream.schema(warm.schema)
+        .option("pathGlobFilter", "region.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .groupBy("r_regionkey")
+        .count()
+        .writeStream.format("noop")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_warm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
     # prime the OS page cache for every table so per-query timings
     # measure the plan, not which table happened to be resident from
     # whatever ran before the bench

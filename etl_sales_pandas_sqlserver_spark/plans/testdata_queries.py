@@ -439,6 +439,7 @@ def _register_extensions() -> None:
     QUERIES. Deferred import to keep module load order simple."""
     from .advanced_queries import ADVANCED_QUERIES
     from .analytics_queries import ANALYTICS_QUERIES
+    from .array_queries import ARRAY_QUERIES
     from .incremental_queries import INCREMENTAL_QUERIES
     from .temporal_queries import TEMPORAL_QUERIES
     from .tpch_more import TPCH_MORE_QUERIES
@@ -447,6 +448,7 @@ def _register_extensions() -> None:
 
     QUERIES.update(ANALYTICS_QUERIES)
     QUERIES.update(ADVANCED_QUERIES)
+    QUERIES.update(ARRAY_QUERIES)
     QUERIES.update(INCREMENTAL_QUERIES)
     QUERIES.update(TEMPORAL_QUERIES)
     QUERIES.update(TPCH_MORE_QUERIES)
