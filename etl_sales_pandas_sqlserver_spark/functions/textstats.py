@@ -368,8 +368,69 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# 6. Intra-document repetition (Gopher-style corpus quality): fraction
+# of duplicated word 3-grams within each doc. High-duplication docs
+# (boilerplate, templated spam, scraper loops) are standard LLM-corpus
+# drop candidates (Gopher-class filters cut at ~0.2 dup-frac on web
+# text; this synthetic corpus tops out at 0.07, so the flag threshold
+# here is 0.01 -- the top ~1% -- to keep the flag discriminating).
+# Pure per-row array expressions -- no shuffle at all
+# until the ORDER BY; at 100 TB this is a map-only pass that pushes
+# only (doc_id, text) through codegen and emits fixed-width scores.
+# ---------------------------------------------------------------------------
+
+TEXT_REPETITION_SQL = r"""
+  WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    FROM documents
+  ),
+  grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < 3 THEN []
+                ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                      for i in range(1, len(w) - 1)] END AS g
+    FROM toks
+  )
+  SELECT doc_id,
+         CAST(len(g) AS BIGINT) AS n_3grams,
+         CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+         CASE WHEN len(g) = 0 THEN CAST(0.0 AS DOUBLE)
+              ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+         END AS dup_frac,
+         CASE WHEN len(g) = 0 THEN FALSE
+              ELSE 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) > 0.01
+         END AS flagged
+  FROM grams ORDER BY doc_id
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams_expr = """
+      CASE WHEN size(w) < 3 THEN array()
+           ELSE transform(sequence(1, size(w) - 2),
+                          i -> concat_ws(' ', w[i-1], w[i], w[i+1]))
+      END
+    """
+    g = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).select("doc_id", F.expr(grams_expr).alias("g"))
+    n = F.size("g").cast("long")
+    nd = F.size(F.array_distinct("g")).cast("long")
+    dup = F.lit(1.0) - nd.cast("double") / n
+    return g.select(
+        "doc_id",
+        n.alias("n_3grams"),
+        nd.alias("n_distinct"),
+        F.when(n == 0, F.lit(0.0).cast("double")).otherwise(dup).alias("dup_frac"),
+        F.when(n == 0, F.lit(False)).otherwise(dup > 0.01).alias("flagged"),
+    ).orderBy("doc_id")
+
+
 TEXT_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "text_token_stats": (q_token_stats, TOKEN_STATS_SQL),
+    "text_repetition_scores": (q_text_repetition, TEXT_REPETITION_SQL),
     "text_quality_scores": (q_quality_scores, QUALITY_SCORES_SQL),
     "text_lang_id": (q_lang_id, LANG_ID_SQL),
     "text_fingerprint": (q_fingerprint, FINGERPRINT_SQL),
