@@ -397,23 +397,36 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per token yields both 31-bit hashes (disjoint hex slices)
     hashed = (
         docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+        # one md5 per token; both 31-bit hashes slice the same digest
+        .select("doc_id", F.expr("transform(w, tok -> md5(tok))").alias("wm"))
         .select(
             "doc_id",
-            F.expr(f"transform(w, tok -> {_hash_spark_md5(1)})").alias("th1"),
-            F.expr(f"transform(w, tok -> {_hash_spark_md5(15)})").alias("th2"),
+            F.expr(
+                f"transform(wm, m -> CAST(conv(substring(m, 1, 14), 16, 10)"
+                f" AS BIGINT) % {_HASH_MOD})"
+            ).alias("th1"),
+            F.expr(
+                f"transform(wm, m -> CAST(conv(substring(m, 15, 14), 16, 10)"
+                f" AS BIGINT) % {_HASH_MOD})"
+            ).alias("th2"),
         )
         .select("doc_id", F.explode(F.expr(_SIMHASH_FEATURES_SPARK)).alias("h"))
     )
+    # bit-majority via plain bit sums: bit j set <=> 2*sum_j > n, the
+    # same predicate as the oracle's sum(+-1) > 0 spelling but with
+    # branch-free aggregates (halves the codegen'd expression size)
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"c{j}")
+        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"c{j}")
         for j in range(_SIMHASH_BITS)
     ]
-    bitsum = hashed.groupBy("doc_id").agg(*bit_sums)
+    bitsum = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nfeat"), *bit_sums
+    )
     simhash = None
     for j in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"c{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(
+            F.col(f"c{j}") * 2 > F.col("nfeat"), F.lit(1 << j)
+        ).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     # one row per doc; cached because both sides of the band self-join
     # (and the hamming recompute) reuse it -- without this the whole
