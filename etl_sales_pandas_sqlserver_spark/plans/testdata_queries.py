@@ -441,6 +441,7 @@ def _register_extensions() -> None:
     from .analytics_queries import ANALYTICS_QUERIES
     from .array_queries import ARRAY_QUERIES
     from .incremental_queries import INCREMENTAL_QUERIES
+    from .sql_interface import SQL_INTERFACE_QUERIES
     from .temporal_queries import TEMPORAL_QUERIES
     from .tpch_more import TPCH_MORE_QUERIES
     from .tpch_suite2 import TPCH_SUITE2_QUERIES
@@ -450,6 +451,7 @@ def _register_extensions() -> None:
     QUERIES.update(ADVANCED_QUERIES)
     QUERIES.update(ARRAY_QUERIES)
     QUERIES.update(INCREMENTAL_QUERIES)
+    QUERIES.update(SQL_INTERFACE_QUERIES)
     QUERIES.update(TEMPORAL_QUERIES)
     QUERIES.update(TPCH_MORE_QUERIES)
     QUERIES.update(TPCH_SUITE2_QUERIES)
