@@ -328,9 +328,13 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return _run_to_table(spark, agg, "complete").orderBy(
-        "win_start", "event_type"
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        out = _run_to_table(spark, agg, "complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.orderBy("win_start", "event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -383,7 +387,15 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
-    return _run_to_table(spark, agg, "complete").orderBy("nation_name")
+    # the dim joins are stateless broadcasts, but the revenue agg over
+    # the stream still keeps state -- size its stores like the rest
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        out = _run_to_table(spark, agg, "complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.orderBy("nation_name")
 
 
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
