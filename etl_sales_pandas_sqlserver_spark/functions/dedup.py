@@ -643,34 +643,51 @@ def cluster_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         # re-executes the full upstream pair-detection pipeline
         .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("s").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
-    )
-    for _ in range(max_rounds):
-        nbr_min = (
-            edges.join(
-                labels.select(F.col("node").alias("d"), F.col("lbl").alias("dl")),
-                "d",
-            )
-            .groupBy("s")
-            .agg(F.min("dl").alias("nm"))
-            .withColumnRenamed("s", "node")
+    # the propagation loop shuffles only (edge, label) rows -- usually
+    # orders of magnitude smaller than the corpus. Size its partition
+    # count to the EDGE data (one partition per ~50k edges), not to the
+    # session default: a near-dup graph with hundreds of edges must not
+    # pay 32 tasks x 3 jobs x rounds of scheduling overhead, while a
+    # billion-edge graph still fans out
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    nparts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                        n_edges // 50_000 + 1))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+        labels = (
+            edges.select(F.col("s").alias("node"))
+            .distinct()
+            .withColumn("lbl", F.col("node"))
         )
-        stepped = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                "lbl",
-                F.least("lbl", F.coalesce("nm", "lbl")).alias("new_lbl"),
+        for _ in range(max_rounds):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("d"), F.col("lbl").alias("dl")
+                    ),
+                    "d",
+                )
+                .groupBy("s")
+                .agg(F.min("dl").alias("nm"))
+                .withColumnRenamed("s", "node")
             )
-            .localCheckpoint(eager=True)  # one materialization per round
-        )
-        changed = stepped.filter(F.col("new_lbl") < F.col("lbl")).count()
-        labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
-        if changed == 0:
-            break
+            stepped = (
+                labels.join(nbr_min, "node", "left")
+                .select(
+                    "node",
+                    "lbl",
+                    F.least("lbl", F.coalesce("nm", "lbl")).alias("new_lbl"),
+                )
+                .localCheckpoint(eager=True)  # one materialization per round
+            )
+            changed = stepped.filter(F.col("new_lbl") < F.col("lbl")).count()
+            labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
+            if changed == 0:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

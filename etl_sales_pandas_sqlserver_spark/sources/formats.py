@@ -72,3 +72,16 @@ def read_partitioned_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Read a hive-partitioned parquet dataset (partition columns are
     reconstructed from directory names)."""
     return spark.read.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib by default; columnar with predicate-pushdown
+    indexes like parquet). ORC is the interchange format of the Hive
+    ecosystem -- supported natively by Spark, no extra package."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan; filter pushdown and column pruning apply exactly as
+    for parquet (shown by PushedFilters in .explain)."""
+    return spark.read.orc(path)

@@ -127,3 +127,23 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     # the partition filter must prune at plan time, not post-scan
     plan = only_en._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(lang" in plan, plan
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    from etl_sales_pandas_sqlserver_spark.sources.formats import (
+        read_orc,
+        write_orc,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("bucket")
+    )
+    path = str(tmp_path / "orc_rt")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.count() == 1000
+    filtered = back.filter(F.col("bucket") == 3)
+    assert filtered.count() == df.filter(F.col("id") % 7 == 3).count()
+    # pushdown reaches the ORC scan
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "bucket" in plan
