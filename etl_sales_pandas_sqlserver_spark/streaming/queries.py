@@ -398,10 +398,72 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("nation_name")
 
 
+# ---------------------------------------------------------------------------
+# 6. Stream-stream interval join: view events joined to the same
+# user's purchase events within the following hour, BOTH sides
+# unbounded streams. Watermarks on both sides + the time-interval join
+# condition let Spark bound each side's join state to the interval
+# span (an un-watermarked stream-stream join would buffer forever).
+# This is the streaming shape attribution pipelines need at scale:
+# state per key ~ events within one interval, evicted as the
+# watermark advances.
+# ---------------------------------------------------------------------------
+
+STREAM_STREAM_JOIN_SQL = """
+  SELECT v.user_id,
+         epoch_us(v.ts) AS view_us,
+         epoch_us(p.ts) AS purchase_us
+  FROM events v
+  JOIN events p
+    ON p.user_id = v.user_id
+   AND v.event_type = 'view' AND p.event_type = 'purchase'
+   AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+  ORDER BY 1, 2, 3
+"""
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts_us").alias("view_us"),
+            F.col("event_time").alias("view_time"),
+        )
+        .withWatermark("view_time", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts_us").alias("purchase_us"),
+            F.col("event_time").alias("purchase_time"),
+        )
+        .withWatermark("purchase_time", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "user_id = p_user AND purchase_time >= view_time "
+            "AND purchase_time <= view_time + INTERVAL 1 HOUR"
+        ),
+    ).select("user_id", "view_us", "purchase_us")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        out = _run_to_table(spark, joined, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.orderBy("user_id", "view_us", "purchase_us")
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "stream_hourly_agg": (q_stream_hourly, STREAM_HOURLY_SQL),
     "stream_sessionize_stateful": (q_stream_sessions, STREAM_SESSIONS_SQL),
     "stream_dedup_keys": (q_stream_dedup, STREAM_DEDUP_SQL),
     "stream_sliding_2h": (q_stream_sliding, STREAM_SLIDING_SQL),
     "stream_static_join_nation": (q_stream_static_join, STREAM_STATIC_JOIN_SQL),
+    "stream_stream_join_attrib": (q_stream_stream_join, STREAM_STREAM_JOIN_SQL),
 }

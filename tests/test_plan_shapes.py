@@ -1,0 +1,48 @@
+"""Physical-plan shape regressions: the scale-critical plan properties
+the engine is designed around must survive refactors. Each test pins
+the property (broadcast, top-k pushdown, filter pushdown, group-limit)
+rather than the whole plan string, so harmless plan churn stays green
+while a silent de-optimization (e.g. a broadcast degrading to a
+sort-merge join of a 5-row dim) fails loudly.
+"""
+
+from __future__ import annotations
+
+from etl_sales_pandas_sqlserver_spark.plans.testdata_queries import QUERIES
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_dim_join_broadcasts(spark, sf_small):
+    fn, _ = QUERIES["join_broadcast_region_acctbal"]
+    assert "BroadcastHashJoin" in _physical(fn(spark, sf_small))
+
+
+def test_top10_uses_take_ordered(spark, sf_small):
+    # TPC-H Q3's ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    # (per-partition top-k, k rows shuffled), never a global sort
+    fn, _ = QUERIES["tpch_q3_top_revenue"]
+    assert "TakeOrderedAndProject" in _physical(fn(spark, sf_small))
+
+
+def test_window_topk_group_limit(spark, sf_small):
+    # rank<=k window filters must push the limit into the shuffle
+    # (WindowGroupLimit), not rank every row then filter
+    fn, _ = QUERIES["window_top_orders_per_customer"]
+    assert "WindowGroupLimit" in _optimized(fn(spark, sf_small))
+
+
+def test_q6_filters_reach_scan(spark, sf_small):
+    # Q6's date/qty predicates must appear as PushedFilters on the
+    # parquet scan, not as a post-scan Filter only
+    fn, _ = QUERIES["tpch_q6_forecast_revenue"]
+    plan = _physical(fn(spark, sf_small))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "expected non-empty pushed filters on the scan"
