@@ -51,22 +51,27 @@ def main() -> None:
     # streaming-engine warmup: the first writeStream.start() in a
     # process pays micro-batch engine + state-store provider init;
     # charge that here, not to whichever stream query runs first
+    import shutil
     import tempfile
 
-    sq = (
-        # the file stream source wants a directory; glob down to region
-        spark.readStream.schema(warm.schema)
-        .option("pathGlobFilter", "region.parquet")
-        .parquet(sf_dir.rstrip("/"))
-        .groupBy("r_regionkey")
-        .count()
-        .writeStream.format("noop")
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_warm_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    sq.awaitTermination()
+    ckpt = tempfile.mkdtemp(prefix="bench_warm_ckpt")
+    try:
+        sq = (
+            # the file stream source wants a directory; glob to region
+            spark.readStream.schema(warm.schema)
+            .option("pathGlobFilter", "region.parquet")
+            .parquet(sf_dir.rstrip("/"))
+            .groupBy("r_regionkey")
+            .count()
+            .writeStream.format("noop")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     # prime the OS page cache for every table so per-query timings
     # measure the plan, not which table happened to be resident from
     # whatever ran before the bench

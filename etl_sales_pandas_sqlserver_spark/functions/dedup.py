@@ -54,6 +54,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import shuffle_partitions
 from ..sources.testdata import load_table
 from .textstats import fingerprint_col
 
@@ -281,16 +282,10 @@ _HASH_SHIFT = 2_147_483_648  # 2^31
 #: Spark hot path has NO per-character lambda work (the earlier
 #: char-fold polynomial hash spent ~2.6s of interpreted higher-order
 #: lambdas at sf0.1; this form is a codegen'd md5 + conv per token).
-#: Spark parses the hex slice with conv(); DuckDB has no hex-parse
-#: function so the oracle folds the 14 hex digits -- fine, the oracle
-#: only ever runs at sf0.01.
-def _hash_spark_md5(start: int) -> str:
-    return (
-        f"CAST(conv(substring(md5(tok), {start}, 14), 16, 10) AS BIGINT)"
-        f" % {_HASH_MOD}"
-    )
-
-
+#: Spark parses the hex slice with conv() (inline in q_simhash_pairs,
+#: over a single md5 array); DuckDB has no hex-parse function so the
+#: oracle folds the 14 hex digits -- fine, the oracle only ever runs
+#: at sf0.01.
 def _hash_duck(start: int) -> str:
     return (
         "list_reduce(list_prepend(CAST(0 AS BIGINT),"
@@ -653,9 +648,8 @@ def cluster_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     n_edges = edges.count()
     nparts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
                         n_edges // 50_000 + 1))
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    converged = False
+    with shuffle_partitions(spark, nparts):
         labels = (
             edges.select(F.col("s").alias("node"))
             .distinct()
@@ -685,9 +679,19 @@ def cluster_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             changed = stepped.filter(F.col("new_lbl") < F.col("lbl")).count()
             labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
             if changed == 0:
+                converged = True
                 break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not converged:
+        # partial labels are WRONG (a component would be reported as
+        # several clusters) -- fail loudly rather than return them.
+        # Rounds needed = graph diameter; near-dup components are
+        # near-cliques, so hitting this means the input is not a
+        # verified-pair graph (or needs the alternating-star transform).
+        raise RuntimeError(
+            f"cluster_components did not converge in {max_rounds} rounds "
+            f"({n_edges} edges); raise max_rounds or pre-contract the "
+            "graph (large-star/small-star) for high-diameter inputs"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
     )

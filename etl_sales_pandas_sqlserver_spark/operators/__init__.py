@@ -1,3 +1,12 @@
-from . import strings, numeric, nulls, dates, dedup, setops, scale
+from . import strings, numeric, nulls, dates, dedup, quality, setops, scale
 
-__all__ = ["strings", "numeric", "nulls", "dates", "dedup", "setops", "scale"]
+__all__ = [
+    "strings",
+    "numeric",
+    "nulls",
+    "dates",
+    "dedup",
+    "quality",
+    "setops",
+    "scale",
+]

@@ -26,50 +26,60 @@ class Expectation:
     ok: "callable"  # measured value -> bool
 
 
-def expect_row_count_between(lo: int, hi: int) -> Expectation:
+def expect_row_count_between(
+    lo: int, hi: int, name: str | None = None
+) -> Expectation:
     return Expectation(
-        f"row_count_between_{lo}_{hi}",
+        name or f"row_count_between_{lo}_{hi}",
         F.count(F.lit(1)),
         lambda v: lo <= v <= hi,
     )
 
 
-def expect_not_null(col: str, max_null_fraction: float = 0.0) -> Expectation:
+def expect_not_null(
+    col: str, max_null_fraction: float = 0.0, name: str | None = None
+) -> Expectation:
     frac = F.avg(F.col(col).isNull().cast("double"))
     return Expectation(
-        f"not_null_{col}",
+        name or f"not_null_{col}",
         frac,
         lambda v: (v or 0.0) <= max_null_fraction,
     )
 
 
-def expect_unique(col: str) -> Expectation:
-    # distinct == total -> unique; one extra hash-distinct inside the
-    # same agg (Spark plans count+count_distinct in one pass via Expand)
+def expect_unique(col: str, name: str | None = None) -> Expectation:
+    # distinct == non-null count -> unique. count(col) (not count(*))
+    # so NULLs are ignored, matching SQL UNIQUE / dbt `unique`
+    # semantics; one extra hash-distinct inside the same agg (Spark
+    # plans count+count_distinct in one pass via Expand)
     return Expectation(
-        f"unique_{col}",
-        F.count(F.lit(1)) - F.count_distinct(F.col(col)),
+        name or f"unique_{col}",
+        F.count(F.col(col)) - F.count_distinct(F.col(col)),
         lambda v: v == 0,
     )
 
 
-def expect_accepted_values(col: str, values: list[Any]) -> Expectation:
+def expect_accepted_values(
+    col: str, values: list[Any], name: str | None = None
+) -> Expectation:
     bad = F.sum(
         (~F.col(col).isin(values) & F.col(col).isNotNull()).cast("long")
     )
     return Expectation(
-        f"accepted_values_{col}",
+        name or f"accepted_values_{col}",
         bad,
         lambda v: (v or 0) == 0,
     )
 
 
-def expect_min_max(col: str, lo: float, hi: float) -> Expectation:
+def expect_min_max(
+    col: str, lo: float, hi: float, name: str | None = None
+) -> Expectation:
     viol = F.sum(
         ((F.col(col) < lo) | (F.col(col) > hi)).cast("long")
     )
     return Expectation(
-        f"range_{col}",
+        name or f"range_{col}",
         viol,
         lambda v: (v or 0) == 0,
     )
@@ -79,7 +89,16 @@ def run_expectations(
     df: DataFrame, expectations: list[Expectation]
 ) -> dict[str, dict[str, Any]]:
     """Evaluate every expectation in ONE aggregation job. Returns
-    ``{name: {"value": measured, "ok": bool}}``."""
+    ``{name: {"value": measured, "ok": bool}}``. Names must be unique
+    -- the result is keyed by name, and silently dropping a duplicate
+    could mask a failing check."""
+    names = [e.name for e in expectations]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        raise ValueError(
+            f"duplicate expectation names {sorted(dupes)}; "
+            "two checks on the same column need distinct names"
+        )
     row = df.agg(
         *[e.agg.alias(f"_e{i}") for i, e in enumerate(expectations)]
     ).collect()[0]

@@ -531,6 +531,41 @@ def q_unpivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Equi-width histogram: order values binned into 20 fixed-width buckets
+# per order status. Bin assignment is pure per-row arithmetic (floor of
+# one double division -- deterministic IEEE on both engines, no
+# width_bucket dependency); the aggregation keyspace is statuses x 20,
+# so map-side partial agg collapses each task to a handful of rows and
+# the shuffle is bytes regardless of fact size.
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 25_000.0
+_HIST_BINS = 20
+
+HISTOGRAM_SQL = f"""
+  SELECT o_orderstatus,
+         CAST(least(floor(o_totalprice / {_HIST_WIDTH}), {_HIST_BINS - 1})
+              AS BIGINT) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders
+  GROUP BY 1, 2
+  ORDER BY 1, 2
+"""
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.floor(F.col("o_totalprice") / _HIST_WIDTH), F.lit(_HIST_BINS - 1)
+    ).cast("long")
+    return (
+        orders.groupBy("o_orderstatus", bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderstatus", "bin")
+    )
+
+
 ADVANCED_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "tpch_q3_top_revenue": (q_tpch_q3, TPCH_Q3_SQL),
     "tpch_q6_forecast_revenue": (q_tpch_q6, TPCH_Q6_SQL),
@@ -541,6 +576,7 @@ ADVANCED_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "window_event_deltas": (q_window_deltas, WINDOW_DELTAS_SQL),
     "cube_region_status": (q_cube_region_status, CUBE_SQL),
     "unpivot_status_revenue": (q_unpivot_status_revenue, UNPIVOT_SQL),
+    "price_histogram_by_status": (q_price_histogram, HISTOGRAM_SQL),
     # sketch internals are engine-specific: rows-only for the driver,
     # error bounded vs the exact count / exact percentiles in tests
     "approx_distinct_users": (q_approx_distinct, None),

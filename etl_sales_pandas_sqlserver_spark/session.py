@@ -10,8 +10,29 @@ overrides them with spark-submit conf instead.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
+from typing import Iterator
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def shuffle_partitions(spark: SparkSession, n: int) -> Iterator[None]:
+    """Temporarily pin ``spark.sql.shuffle.partitions``.
+
+    Streaming stateful operators size their state-store count from this
+    conf at plan time (a pre-repartition cannot replace it), and
+    iterative drivers shrink it to match loop-state size; both must
+    restore the session value even on failure. Not safe against
+    concurrent planning on the same session -- single-threaded in
+    tests/bench; on a shared cluster use a dedicated session.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def get_spark(

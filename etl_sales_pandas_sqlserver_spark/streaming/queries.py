@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..session import shuffle_partitions
+
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -128,12 +130,8 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same state-store sizing as the stateful queries below: partition
     # count = store count, fixed at stream start; 8 stores cover the
     # ~1.2k (hour, type) groups and cut serialized local store opens
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    with shuffle_partitions(spark, 8):
         out = _run_to_table(spark, agg, "complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.orderBy("hour_bucket", "event_type")
 
 
@@ -224,17 +222,10 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE: a pre-repartition(8, user_id) cannot replace this conf --
     # streaming stateful operators demand the exact partition count of
     # spark.sql.shuffle.partitions at plan time (state layout is keyed
-    # to it), so the session conf is the only knob. The set lives
-    # INSIDE the try so any failure still restores the previous value;
-    # concurrent planning on the same session would race on this conf
-    # (single-threaded in tests/bench; on a shared cluster run stateful
-    # streams from a dedicated session).
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # to it), so the session conf is the only knob (restore semantics
+    # and the concurrency caveat live on session.shuffle_partitions).
+    with shuffle_partitions(spark, 8):
         out = _run_to_table(spark, sessions, "update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # update-mode sinks may hold one row per micro-batch; counts are
     # monotone, so the final state per user is the max
     return (
@@ -273,12 +264,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state-store opens serialize (same measurement as sessionize below:
     # 32 stores cost ~20s of open overhead, 8 cost ~2s). On a cluster
     # stores scale with executors; locally 8 cover the keyspace fine.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    with shuffle_partitions(spark, 8):
         out = _run_to_table(spark, deduped, "append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.orderBy("user_id", "event_type")
 
 
@@ -328,12 +315,8 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    with shuffle_partitions(spark, 8):
         out = _run_to_table(spark, agg, "complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.orderBy("win_start", "event_type")
 
 
@@ -389,12 +372,8 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the dim joins are stateless broadcasts, but the revenue agg over
     # the stream still keeps state -- size its stores like the rest
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    with shuffle_partitions(spark, 8):
         out = _run_to_table(spark, agg, "complete")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.orderBy("nation_name")
 
 
@@ -450,12 +429,8 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AND purchase_time <= view_time + INTERVAL 1 HOUR"
         ),
     ).select("user_id", "view_us", "purchase_us")
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    with shuffle_partitions(spark, 8):
         out = _run_to_table(spark, joined, "append")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.orderBy("user_id", "view_us", "purchase_us")
 
 

@@ -285,3 +285,42 @@ def test_expectations_single_pass(spark, sf_small):
     assert res["accepted_values_o_orderstatus"]["ok"]
     assert res["range_o_totalprice"]["ok"]
     assert not res["accepted_values_o_orderkey"]["ok"]
+
+
+def test_expectations_unique_ignores_nulls_and_rejects_dupe_names(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (3,), (None,), (None,)], "x int"
+    )
+    res = run_expectations(df, [expect_unique("x")])
+    assert res["unique_x"]["ok"]  # NULLs don't violate uniqueness
+    dup = spark.createDataFrame([(1,), (1,)], "x int")
+    assert not run_expectations(dup, [expect_unique("x")])["unique_x"]["ok"]
+    with _pytest.raises(ValueError, match="duplicate expectation names"):
+        run_expectations(
+            df, [expect_min_max("x", 0, 1), expect_min_max("x", 0, 9)]
+        )
+    # distinct names via the override are fine
+    res = run_expectations(
+        df,
+        [
+            expect_min_max("x", 0, 1, name="range_x_tight"),
+            expect_min_max("x", 0, 9, name="range_x_loose"),
+        ],
+    )
+    assert not res["range_x_tight"]["ok"] and res["range_x_loose"]["ok"]
+
+
+def test_cluster_components_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+    from etl_sales_pandas_sqlserver_spark.functions.dedup import (
+        cluster_components,
+    )
+
+    # a 12-node path needs 11 propagation rounds; 3 must fail loudly
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["a_id", "b_id"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        cluster_components(path, max_rounds=3).collect()
