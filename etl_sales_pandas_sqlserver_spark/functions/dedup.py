@@ -201,6 +201,68 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 2b. Train/eval decontamination: the cross-corpus variant of the
+# inverted-index join. Before pre-training, any train document that
+# near-duplicates an eval/benchmark document must be dropped or the
+# benchmark is contaminated. Same shuffle shape as the self-join --
+# (doc_id, shingle-hash) pairs, never text -- but the candidate mass is
+# |train shingles| x |eval shingles per bucket|, far below all-pairs
+# because the eval side is tiny relative to the corpus. At 100 TB this
+# is THE shape: broadcast-size eval set joins a corpus-size index.
+# The eval split here is derived (doc_id % 10 == 0) since the testdata
+# has one corpus; in production the eval side is its own table.
+# ---------------------------------------------------------------------------
+
+DECONTAMINATE_SQL = f"""
+  WITH {_SHINGLES_CTE},
+  sized AS (SELECT doc_id, s, len(s) AS n FROM sh),
+  train AS (SELECT * FROM sized WHERE doc_id % 10 <> 0),
+  eval_ AS (SELECT * FROM sized WHERE doc_id % 10 = 0),
+  pairs AS (
+    SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+           len(list_intersect(t.s, e.s)) AS common, t.n AS nt, e.n AS ne
+    FROM train t JOIN eval_ e ON TRUE
+  )
+  SELECT train_id, eval_id,
+         CAST(common AS DOUBLE) / (nt + ne - common) AS jaccard
+  FROM pairs
+  WHERE CAST(common AS DOUBLE) / (nt + ne - common) >= {_JACCARD_THRESHOLD}
+  ORDER BY train_id, eval_id
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sizes = sh.select("doc_id", F.size("s").alias("n"))
+    ex = sh.select("doc_id", F.explode("s").alias("shingle")).select(
+        "doc_id", F.xxhash64("shingle").alias("h")
+    )
+    train = ex.filter(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("train_id"), "h"
+    )
+    ev = ex.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("eval_id"), "h"
+    )
+    common = (
+        train.join(ev, "h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    nt = sizes.select(F.col("doc_id").alias("train_id"), F.col("n").alias("nt"))
+    ne = sizes.select(F.col("doc_id").alias("eval_id"), F.col("n").alias("ne"))
+    jaccard = F.col("common").cast("double") / (
+        F.col("nt") + F.col("ne") - F.col("common")
+    )
+    return (
+        common.join(nt, "train_id")
+        .join(ne, "eval_id")
+        .select("train_id", "eval_id", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .orderBy("train_id", "eval_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 3. MinHash + LSH banding, exact-verified.
 # ---------------------------------------------------------------------------
 
@@ -739,4 +801,5 @@ QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "dedup_simhash": (q_simhash_pairs, SIMHASH_SQL),
     "dedup_embedding_cosine": (q_embedding_cosine_pairs, EMBEDDING_COSINE_SQL),
     "dedup_clusters": (q_dedup_clusters, CLUSTER_COMPONENTS_SQL),
+    "dedup_decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
 }
