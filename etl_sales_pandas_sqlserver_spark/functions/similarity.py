@@ -289,10 +289,14 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic across runs AND uncorrelated with id order -- an
     # id-prefix (orderBy + limit) would bias the centroids whenever ids
     # correlate with content, and the full-corpus orderBy is itself a
-    # scale hazard. The limit only caps the rare oversized sample; the
-    # quantizer quality depends on sample coverage, not corpus size.
+    # scale hazard. When the cap binds, the orderBy over the (small,
+    # already-filtered) sample keyed by a SECOND hash keeps the kept
+    # subset deterministic and content-uncorrelated -- a bare limit
+    # would take whichever partitions answered first. The quantizer
+    # quality depends on sample coverage, not corpus size.
     sample = (
         vecs.filter(F.pmod(F.xxhash64("vec_id"), F.lit(4)) == 0)
+        .orderBy(F.xxhash64(F.col("vec_id") + 1))
         .limit(_IVF_TRAIN_SAMPLE)
         .collect()
     )
@@ -354,8 +358,20 @@ _ANN_INDEX_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_ann_index")
 
 def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the bucket-partitioned vector index (idempotent per
-    sf_dir; rebuild = delete the directory)."""
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    SOURCE CONTENT; rebuild = delete the directory).
+
+    The cache key fingerprints the source file's absolute path, mtime
+    and size -- not just the directory basename -- so regenerating the
+    embeddings table, or two corpora that share a basename, can never
+    serve a stale index (the indexed variant's contract is result
+    identity with the scan-based ANN)."""
+    import hashlib
+
+    src = os.path.join(os.path.normpath(sf_dir), "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:16]
     path = os.path.join(_ANN_INDEX_ROOT, tag)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         import pandas as pd  # noqa: F401

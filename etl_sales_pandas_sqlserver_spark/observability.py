@@ -26,6 +26,7 @@ Semantics to know (tested in tests/test_observability.py):
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
@@ -40,9 +41,13 @@ def configure_logging(
     logger, optional file handler, one concise line per record."""
     logger = logging.getLogger(LOGGER_NAME)
     logger.setLevel(level)
+    # FileHandler stores baseFilename absolutized -- compare abspath,
+    # or a relative logfile would attach a fresh handler per call and
+    # write every record N times
+    target = None if logfile is None else os.path.abspath(logfile)
     if logfile is not None and not any(
         isinstance(h, logging.FileHandler)
-        and getattr(h, "baseFilename", None) == logfile
+        and getattr(h, "baseFilename", None) == target
         for h in logger.handlers
     ):
         handler = logging.FileHandler(logfile, encoding="utf-8")

@@ -30,16 +30,23 @@ _DEFAULT_FORMATS: tuple[str, ...] = (
 def to_timestamp_coerce(col: Column | str, formats: tuple[str, ...] = ()) -> Column:
     """P10 -- coercing multi-format timestamp parse (reference
     main.py:92-93: ``pd.to_datetime(col, errors='coerce')`` sniffs the
-    format per element). Spark's default parser (tried first) covers
-    ISO dates and ISO date+time; the format chain -- the given
-    ``formats`` or the pandas-like ``_DEFAULT_FORMATS`` -- is coalesced
-    in order, so each ROW takes the first format that parses, exactly
-    like per-element sniffing. Unparseable -> NULL, never an ANSI
-    error."""
+    format per element). The chain is coalesced in order, so each ROW
+    takes the first format that parses, exactly like per-element
+    sniffing. Unparseable -> NULL, never an ANSI error.
+
+    Precedence: EXPLICIT caller formats win over the default parser --
+    a caller declaring ``yyyy-dd-MM`` must not have an ambiguous
+    '2024-05-01' reinterpreted as May 1 by the ISO parser. With no
+    explicit formats (the pandas-sniffing posture) the default parser
+    is tried first, then the pandas-like ``_DEFAULT_FORMATS``."""
     c = F.col(col) if isinstance(col, str) else col
-    chain = formats or _DEFAULT_FORMATS
-    attempts = [F.try_to_timestamp(c)]
-    attempts += [F.try_to_timestamp(c, F.lit(fmt)) for fmt in chain]
+    default = [F.try_to_timestamp(c)]
+    if formats:
+        attempts = [F.try_to_timestamp(c, F.lit(f)) for f in formats] + default
+    else:
+        attempts = default + [
+            F.try_to_timestamp(c, F.lit(f)) for f in _DEFAULT_FORMATS
+        ]
     return F.coalesce(*attempts)
 
 

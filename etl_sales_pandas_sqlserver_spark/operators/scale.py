@@ -65,18 +65,20 @@ def salted_join(
     ``key`` (asserted in tests) while a hot key occupies ``n_salts``
     tasks instead of one.
 
-    The salt must be deterministic for result stability: derived from a
-    hash of the full row's key plus a uniform spreader column when one
-    exists; here ``pmod(hash(key, monotonically_increasing_id()), n)``
-    would NOT be deterministic across retries, so we spread on the
-    key's own hash chunks -- rows of the SAME key still fan out because
-    the salt comes from ``spark_partition_id()``, which is stable for a
-    given scan split assignment but not across cluster topologies; for
-    exactly-reproducible plans prefer a natural spreader column
-    (e.g. an id column modulo n_salts).
+    The salt must be deterministic for result stability AND vary
+    within a hot key for skew mitigation: it hashes the FULL fact row
+    (all columns), so it is stable across retries and cluster
+    topologies, and a hot key's rows fan out as long as any non-key
+    column varies. (``spark_partition_id()`` would be constant per
+    scan split -- a hot key concentrated in one coalesced partition
+    would keep a single salt and defeat the whole mechanism;
+    ``monotonically_increasing_id()`` is not stable across retries.)
+    Fully identical duplicate rows share a salt, which only matters if
+    duplicates themselves are the skew source.
     """
     fact_salted = fact.withColumn(
-        "_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)),
     )
     dim_salted = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

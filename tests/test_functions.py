@@ -168,9 +168,9 @@ def test_ann_indexed_matches_scan_ann_and_prunes(spark, sf_small, tmp_path, monk
     }
     assert indexed == scan  # same probe semantics, pruned IO
     # the bucket filter must prune partitions at plan time
-    import os
-
-    idx = os.path.join(str(tmp_path / "ann_index"), os.path.basename(sf_small))
+    # (build_ann_index is idempotent: returns the fingerprinted path)
+    idx = sim.build_ann_index(spark, sf_small)
+    assert idx.startswith(str(tmp_path / "ann_index"))
     pruned = spark.read.parquet(idx).filter(F.col("bucket").isin([0, 1, 2]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [bucket" in plan or "bucket#" in plan.split(
