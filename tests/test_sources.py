@@ -147,3 +147,36 @@ def test_orc_roundtrip_pushdown(spark, tmp_path):
     # pushdown reaches the ORC scan
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "bucket" in plan
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from etl_sales_pandas_sqlserver_spark.sources.maintenance import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "fragmented")
+    # 40 tiny files
+    spark.range(4000).repartition(40).write.parquet(path)
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before == 40
+    # huge target -> everything fits in one file
+    n = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    after = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert n == 1 and len(after) == 1
+    assert spark.read.parquet(path).count() == 4000
+
+
+def test_merged_schema_read_fills_missing_columns(spark, tmp_path):
+    from etl_sales_pandas_sqlserver_spark.sources.maintenance import (
+        read_parquet_merged_schema,
+    )
+
+    path = str(tmp_path / "evolving")
+    spark.range(5).selectExpr("id").write.parquet(path)
+    spark.range(5, 10).selectExpr("id", "id * 2 AS extra").write.mode(
+        "append"
+    ).parquet(path)
+    df = read_parquet_merged_schema(spark, path)
+    assert set(df.columns) == {"id", "extra"}
+    rows = {r["id"]: r["extra"] for r in df.collect()}
+    assert rows[2] is None and rows[7] == 14
