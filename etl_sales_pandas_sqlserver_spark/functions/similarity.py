@@ -122,9 +122,16 @@ def _seq_norms(m: np.ndarray) -> np.ndarray:
 
 
 def _collect_queries(vecs: DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    """The query batch (tiny by definition) to the driver: ids + matrix."""
+    """The query batch (tiny by definition) to the driver: ids + matrix.
+
+    An empty corpus returns a (0, _DIM) matrix -- NOT the 1-D array
+    np.array([]) would give -- so norms (axis=1), bucket assignment
+    (matmul) and the per-query loops all degrade to no-ops and every
+    top-k variant returns an empty result instead of crashing."""
     rows = vecs.filter(F.col("vec_id") < _N_QUERIES).orderBy("vec_id").collect()
     ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    if not rows:
+        return ids, np.empty((0, _DIM), dtype=np.float64)
     mat = np.array([r.v for r in rows], dtype=np.float64)
     return ids, mat
 
@@ -300,6 +307,9 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_IVF_TRAIN_SAMPLE)
         .collect()
     )
+    if not sample:
+        # empty corpus: nothing to train on, nothing to search
+        return _global_topk(spark.createDataFrame([], _PAIR_SCHEMA))
     x = np.array([r.v for r in sample], dtype=np.float64)
     xn = np.linalg.norm(x, axis=1, keepdims=True)
     x = x[xn[:, 0] > 0] / xn[xn[:, 0] > 0]
@@ -419,7 +429,13 @@ def q_topk_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     index_path = build_ann_index(spark, sf_dir)
-    pruned = spark.read.parquet(index_path).filter(F.col("bucket").isin(probe))
+    # explicit schema: an empty corpus writes an index with no data
+    # files, where schema inference has nothing to read
+    pruned = (
+        spark.read.schema("vec_id long, v array<double>, bucket long")
+        .parquet(index_path)
+        .filter(F.col("bucket").isin(probe))
+    )
 
     bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm, q_buckets))
 

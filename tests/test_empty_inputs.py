@@ -1,0 +1,58 @@
+"""Empty-input robustness: every operator family must degrade to an
+empty (or zero-valued) result on zero-row tables, never crash. The
+fixture preserves the testdata's exact parquet physical types
+(including events' TIMESTAMP(NANOS)) via pyarrow, so the loaders'
+type handling is exercised too. Caught live: the similarity top-k
+family crashed in numpy on an empty query batch (1-D empty matrix).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_sales_pandas_sqlserver_spark.plans.testdata_queries import QUERIES
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+#: one representative per family, plus the similarity quartet that
+#: crashed before the guards
+_REPRESENTATIVES = [
+    "clean_valid_sales",
+    "tpch_q1_pricing_summary",
+    "window_top_orders_per_customer",
+    "merge_upsert_orders",
+    "scd2_customer_versions",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_decontaminate",
+    "text_token_stats",
+    "similarity_topk_exact",
+    "similarity_topk_ann",
+    "similarity_topk_ivf",
+    "similarity_topk_ann_indexed",
+    "multimodal_binary_features",
+    "stream_hourly_agg",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(sf_small, tmp_path_factory) -> str:
+    import pyarrow.parquet as pq
+
+    dst = tmp_path_factory.mktemp("empty_sf")
+    for t in _TABLES:
+        schema = pq.read_schema(f"{sf_small}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", _REPRESENTATIVES)
+def test_query_survives_empty_tables(spark, empty_sf, name):
+    fn, _sql = QUERIES[name]
+    n = fn(spark, empty_sf).count()
+    # aggregations without grouping keys may legitimately emit one
+    # zero-valued row; everything else must be empty
+    assert n <= 1
