@@ -92,28 +92,44 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _segment_view(payloads: "pd.Series") -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Concatenate a batch's payloads into ONE uint8 buffer and return
+    (buf, starts, lens). All per-row byte stats then become O(total
+    bytes) numpy segment ops on the flat buffer -- no Python-level
+    per-row work inside the Arrow batch."""
+    lens = np.fromiter((len(b) for b in payloads), dtype=np.int64, count=len(payloads))
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    return buf, starts, lens
+
+
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: vectorized byte stats per Arrow batch. The
-    loop is per-batch (thousands of rows), not per-row; numpy does the
-    byte math."""
+    """mapInPandas kernel: fully vectorized byte stats per Arrow batch.
+    Payloads are flattened once; per-doc sums come from a prefix-sum
+    difference (exact int64), first bytes from a gather at segment
+    starts. Reproduces decode_image(fake=True) math vectorized --
+    parity is pinned in tests/test_functions.py."""
     for pdf in batches:
-        payloads = pdf["payload"]
-        n_bytes = payloads.map(len).astype("int64")
-        first = payloads.map(lambda b: int(b[0]) if len(b) else -1).astype("int64")
-        byte_sum = payloads.map(
-            lambda b: int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.int64))
-        ).astype("int64")
-        dims = payloads.map(lambda b: decode_image(b, fake=True))
+        if len(pdf) == 0:
+            continue
+        buf, starts, lens = _segment_view(pdf["payload"])
+        csum = np.zeros(buf.size + 1, dtype=np.int64)
+        np.cumsum(buf, dtype=np.int64, out=csum[1:])
+        byte_sum = csum[starts + lens] - csum[starts]
+        nonempty = lens > 0
+        first = np.full(len(lens), -1, dtype=np.int64)
+        first[nonempty] = buf[starts[nonempty]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "source": pdf["source"],
                 "modality": pdf["modality"],
-                "n_bytes": n_bytes,
+                "n_bytes": lens,
                 "first_byte": first,
                 "byte_sum": byte_sum,
-                "fake_width": dims.map(lambda d: d[0]).astype("int64"),
-                "fake_height": dims.map(lambda d: d[1]).astype("int64"),
+                "fake_width": np.where(nonempty, first % 64 + 1, 1),
+                "fake_height": lens % 64 + 1,
             }
         )
 
@@ -220,18 +236,33 @@ def sample_frames_fake(
 def _frame_sample_kernel(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
+    """Vectorized frame sampling: sampled-frame first bytes are a
+    single gather on the flat buffer (positions built with the
+    repeat/arange ragged-index trick), summed per doc with bincount.
+    Semantics identical to mapping sample_frames_fake per row (pinned
+    in tests); every sampled frame is a full _FRAME_BYTES window, so
+    its first byte always exists."""
+    stride = _FRAME_EVERY_N * _FRAME_BYTES
     for pdf in batches:
-        payloads = pdf["payload"]
-        n_frames = payloads.map(lambda b: len(b) // _FRAME_BYTES).astype("int64")
-        sampled = payloads.map(sample_frames_fake)
+        if len(pdf) == 0:
+            continue
+        buf, starts, lens = _segment_view(pdf["payload"])
+        n_frames = lens // _FRAME_BYTES
+        n_sampled = -(-n_frames // _FRAME_EVERY_N)  # ceil-div
+        doc_idx = np.repeat(np.arange(len(lens)), n_sampled)
+        seg_off = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(n_sampled[:-1], out=seg_off[1:])
+        j = np.arange(int(n_sampled.sum()), dtype=np.int64) - seg_off[doc_idx]
+        vals = buf[starts[doc_idx] + j * stride]
+        first_sum = np.bincount(
+            doc_idx, weights=vals, minlength=len(lens)
+        ).astype(np.int64)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "n_frames": n_frames,
-                "n_sampled": sampled.map(len).astype("int64"),
-                "sampled_first_sum": sampled.map(
-                    lambda fs: sum(int(f[0]) for f in fs if len(f))
-                ).astype("int64"),
+                "n_sampled": n_sampled,
+                "sampled_first_sum": first_sum,
             }
         )
 

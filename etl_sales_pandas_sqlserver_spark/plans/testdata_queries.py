@@ -434,9 +434,74 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
 }
 
 
+#: Registration-order head. The driver's per-round correctness run
+#: covers only the FIRST 50 registered queries; round 2's window ended
+#: at ``tpch_q13``, leaving the function/streaming/window/suite2-tail
+#: families with no driver row. Round 3 therefore leads with exactly
+#: those families (plus ``tpch_q12_ship_latency``, whose oracle cast
+#: was fixed this round and needs a fresh green row). Queries NOT in
+#: this list keep their prior relative order after the head and ride on
+#: their round-2 green rows. New queries added in round 3 are appended
+#: to this list so they land inside the 50-entry window too.
+_PRIORITY_HEAD: list[str] = [
+    # functions: text analysis
+    "text_token_stats",
+    "text_repetition_scores",
+    "text_quality_scores",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_pii_redact",
+    # functions: training-data prep
+    "split_train_val_test",
+    "stratified_sample_docs",
+    "topk_tokens_per_lang",
+    "token_salience",
+    "pack_training_sequences",
+    "quantize_embeddings_int8",
+    # functions: dedup family
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_decontaminate",
+    # functions: similarity search
+    "similarity_topk_exact",
+    "similarity_topk_ann",
+    "similarity_topk_ivf",
+    "similarity_topk_ann_indexed",
+    # functions: multimodal
+    "multimodal_binary_features",
+    "multimodal_frame_sample",
+    # streaming
+    "stream_hourly_agg",
+    "stream_sessionize_stateful",
+    "stream_dedup_keys",
+    "stream_sliding_2h",
+    "stream_static_join_nation",
+    "stream_stream_join_attrib",
+    # TPC-H suite2 tail (no driver row in r2)
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_sales_opportunity",
+    # window tail (no driver row in r2)
+    "window_moving_avg_7",
+    "window_range_1h_load",
+    "window_first_last_touch",
+    "grouping_sets_revenue",
+    # oracle cast fixed in round 3 -- needs re-verification
+    "tpch_q12_ship_latency",
+]
+
+
 def _register_extensions() -> None:
     """Merge Layer B registries (analytics, text/dedup/similarity) into
-    QUERIES. Deferred import to keep module load order simple."""
+    QUERIES, then rotate ``_PRIORITY_HEAD`` to the front of the
+    registration order (see its docstring for why order matters)."""
     from .advanced_queries import ADVANCED_QUERIES
     from .analytics_queries import ANALYTICS_QUERIES
     from .array_queries import ARRAY_QUERIES
@@ -462,6 +527,13 @@ def _register_extensions() -> None:
         QUERIES.update(FUNCTION_QUERIES)
     except ImportError:
         pass
+
+    ordered = {n: QUERIES[n] for n in _PRIORITY_HEAD if n in QUERIES}
+    for name, entry in QUERIES.items():
+        if name not in ordered:
+            ordered[name] = entry
+    QUERIES.clear()
+    QUERIES.update(ordered)
 
 
 _register_extensions()

@@ -144,10 +144,10 @@ TPCH_Q12_SQL = f"""
   SELECT CASE WHEN l.l_shipdate >  o.o_orderdate + INTERVAL 90 DAY THEN 'late'
               WHEN l.l_shipdate >  o.o_orderdate + INTERVAL 30 DAY THEN 'normal'
               ELSE 'fast' END AS ship_bucket,
-         SUM(CASE WHEN o.o_orderpriority IN {_HIGH_PRIORITIES!r} THEN 1 ELSE 0 END)
-           AS high_line_count,
-         SUM(CASE WHEN o.o_orderpriority IN {_HIGH_PRIORITIES!r} THEN 0 ELSE 1 END)
-           AS low_line_count,
+         CAST(SUM(CASE WHEN o.o_orderpriority IN {_HIGH_PRIORITIES!r} THEN 1 ELSE 0 END)
+           AS BIGINT) AS high_line_count,
+         CAST(SUM(CASE WHEN o.o_orderpriority IN {_HIGH_PRIORITIES!r} THEN 0 ELSE 1 END)
+           AS BIGINT) AS low_line_count,
          COUNT(*) AS n_lines
   FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
   GROUP BY 1

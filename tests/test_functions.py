@@ -83,6 +83,61 @@ def test_binary_feature_extraction_contract(spark, sf_small):
         assert f.modality in ("image", "audio", "video")
 
 
+def _kernel_out(kernel, pdf):
+    import pandas as pd
+
+    outs = list(kernel(iter([pdf])))
+    return pd.concat(outs) if outs else pd.DataFrame()
+
+
+def test_vectorized_byte_kernel_matches_scalar_reference():
+    """The flat-buffer feature kernel must agree byte-for-byte with the
+    scalar definitions (decode_image fake math, per-row byte sums) on
+    edge payloads: empty, 1-byte, high-bit bytes."""
+    import pandas as pd
+
+    payloads = [b"", b"\x00", b"\xff" * 7, b"abcxyz", bytes(range(256))]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(payloads)),
+            "source": ["s"] * len(payloads),
+            "modality": ["image"] * len(payloads),
+            "payload": payloads,
+        }
+    )
+    out = _kernel_out(multimodal._extract_features, pdf)
+    for i, b in enumerate(payloads):
+        row = out[out.doc_id == i].iloc[0]
+        assert row.n_bytes == len(b)
+        assert row.first_byte == (b[0] if b else -1)
+        assert row.byte_sum == sum(b)
+        w, h = multimodal.decode_image(b, fake=True)
+        assert (row.fake_width, row.fake_height) == (w, h)
+
+
+def test_vectorized_frame_kernel_matches_scalar_reference():
+    """Frame-sampling kernel vs a literal map of sample_frames_fake:
+    payloads below/at/above one frame, multi-frame, ragged."""
+    import pandas as pd
+
+    fb, ev = multimodal._FRAME_BYTES, multimodal._FRAME_EVERY_N
+    payloads = [
+        b"",
+        b"x" * (fb - 1),
+        b"y" * fb,
+        bytes(range(200)) * 3,  # 37 frames
+        b"z" * (fb * ev * 3 + 5),
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(payloads)), "payload": payloads})
+    out = _kernel_out(multimodal._frame_sample_kernel, pdf)
+    for i, b in enumerate(payloads):
+        row = out[out.doc_id == i].iloc[0]
+        frames = multimodal.sample_frames_fake(b)
+        assert row.n_frames == len(b) // fb
+        assert row.n_sampled == len(frames)
+        assert row.sampled_first_sum == sum(int(f[0]) for f in frames if len(f))
+
+
 # ---------------------------------------------------------------------------
 # traindata.py semantic invariants (the oracle checks cross-engine
 # parity; these check the operators mean what they claim)
