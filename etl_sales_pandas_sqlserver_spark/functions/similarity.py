@@ -472,8 +472,56 @@ def q_topk_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _global_topk(scored)
 
 
+# ---------------------------------------------------------------------------
+# kNN majority-label classification: the labeled-neighbors use of
+# similarity search (label propagation / weak supervision). Reuses the
+# exact top-k (bitwise cross-engine parity), joins the k neighbor ids
+# to the label column, and takes the per-query majority with a
+# deterministic tie-break (votes desc, label asc). The join input is k
+# rows per query -- tiny -- so at scale this costs exactly one extra
+# broadcast-sized join after the top-k reduction.
+# ---------------------------------------------------------------------------
+
+KNN_LABEL_SQL = f"""
+  WITH topk AS ({TOPK_EXACT_SQL}),
+  votes AS (
+    SELECT t.query_id, e.label, COUNT(*) AS votes
+    FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+    GROUP BY 1, 2
+  )
+  SELECT query_id, label AS pred_label, votes
+  FROM (
+    SELECT query_id, label, votes,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY votes DESC, label ASC) AS rn
+    FROM votes)
+  WHERE rn = 1
+  ORDER BY query_id
+"""
+
+
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    topk = q_topk_exact(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    votes = (
+        topk.join(emb, topk.neighbor_id == emb.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+        .orderBy("query_id")
+    )
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "similarity_topk_exact": (q_topk_exact, TOPK_EXACT_SQL),
+    "embedding_knn_label": (q_knn_label, KNN_LABEL_SQL),
     # approximate by construction: rows-only for the driver, recall@k
     # asserted against the exact baseline in tests/test_functions.py
     "similarity_topk_ann": (q_topk_ann, None),

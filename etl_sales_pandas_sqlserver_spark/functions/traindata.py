@@ -314,8 +314,136 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# ---------------------------------------------------------------------------
+# Weighted corpus mixing: the "domain reweighting" step of training-data
+# assembly -- each source gets an epoch multiplier (2.0 = every doc
+# twice, 0.25 = one doc in four, deterministic). Whole copies come from
+# an explode over a per-row sequence; the fractional copy is a hash
+# gate on a mix-specific salt (independent of the split/sample hash so
+# the choices don't correlate). Stateless and shuffle-free at any
+# scale: the fan-out is bounded by ceil(max weight) and pipelines into
+# downstream consumers.
+# ---------------------------------------------------------------------------
+
+#: source -> (whole epochs, extra-copy percent). Effective weight =
+#: whole + pct/100: src0 2.0x, src1 1.5x, src2 1.0x, src3 0.5x,
+#: everything else 0.25x.
+_MIX_WHOLE = {"src0": 2, "src1": 1, "src2": 1, "src3": 0}
+_MIX_FRAC_PCT = {"src0": 0, "src1": 50, "src2": 0, "src3": 50}
+_MIX_DEFAULT = (0, 25)
+
+CORPUS_MIX_SQL = f"""
+  WITH w AS (
+    SELECT doc_id, source,
+           CASE source WHEN 'src0' THEN {_MIX_WHOLE["src0"]}
+                       WHEN 'src1' THEN {_MIX_WHOLE["src1"]}
+                       WHEN 'src2' THEN {_MIX_WHOLE["src2"]}
+                       WHEN 'src3' THEN {_MIX_WHOLE["src3"]}
+                       ELSE {_MIX_DEFAULT[0]} END
+           + CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 4)
+                         AS INTEGER) % 100
+                  < CASE source WHEN 'src0' THEN {_MIX_FRAC_PCT["src0"]}
+                                WHEN 'src1' THEN {_MIX_FRAC_PCT["src1"]}
+                                WHEN 'src2' THEN {_MIX_FRAC_PCT["src2"]}
+                                WHEN 'src3' THEN {_MIX_FRAC_PCT["src3"]}
+                                ELSE {_MIX_DEFAULT[1]} END
+             THEN 1 ELSE 0 END AS total
+    FROM documents
+  )
+  SELECT doc_id, source, e.epoch
+  FROM w, unnest(generate_series(0, total - 1)) AS e(epoch)
+  WHERE total >= 1
+  ORDER BY doc_id, epoch
+"""
+
+
+def q_corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    whole = (
+        F.when(F.col("source") == "src0", _MIX_WHOLE["src0"])
+        .when(F.col("source") == "src1", _MIX_WHOLE["src1"])
+        .when(F.col("source") == "src2", _MIX_WHOLE["src2"])
+        .when(F.col("source") == "src3", _MIX_WHOLE["src3"])
+        .otherwise(_MIX_DEFAULT[0])
+    )
+    frac_pct = (
+        F.when(F.col("source") == "src0", _MIX_FRAC_PCT["src0"])
+        .when(F.col("source") == "src1", _MIX_FRAC_PCT["src1"])
+        .when(F.col("source") == "src2", _MIX_FRAC_PCT["src2"])
+        .when(F.col("source") == "src3", _MIX_FRAC_PCT["src3"])
+        .otherwise(_MIX_DEFAULT[1])
+    )
+    gate = _hash_bucket(F.concat(F.col("doc_id").cast("string"), F.lit("#mix")))
+    total = whole + F.when(gate < frac_pct, 1).otherwise(0)
+    # Spark's sequence(0, -1) would count DOWN; filter total>=1 first so
+    # the sequence bound is always valid (DuckDB's generate_series side
+    # is empty-on-negative, same final row set)
+    return (
+        docs.select("doc_id", "source", total.alias("total"))
+        .filter(F.col("total") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.col("total") - 1)).alias("epoch"),
+        )
+        .withColumn("epoch", F.col("epoch").cast("long"))
+        .orderBy("doc_id", "epoch")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: overlapping fixed-size character windows
+# (window 512, stride 384 -> 128-char overlap), the standard "chop long
+# documents into training contexts" step. The window starts are a
+# per-row sequence (JVM-side), the chunk text never leaves the executor
+# -- the output carries its length and an md5 fingerprint instead, so
+# the driver hash-compares chunk CONTENT without shipping it.
+# ---------------------------------------------------------------------------
+
+_CHUNK_CHARS = 512
+_CHUNK_STRIDE = 384
+
+CHUNK_WINDOWS_SQL = f"""
+  SELECT doc_id,
+         s.start // {_CHUNK_STRIDE} AS chunk_id,
+         s.start,
+         least({_CHUNK_CHARS}, length(text) - s.start) AS chunk_chars,
+         substr(md5(substr(text, CAST(s.start AS INTEGER) + 1, {_CHUNK_CHARS})), 1, 8)
+           AS chunk_fp
+  FROM documents,
+       unnest(range(0, greatest(length(text), 1), {_CHUNK_STRIDE})) AS s(start)
+  ORDER BY doc_id, chunk_id
+"""
+
+
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(_CHUNK_STRIDE)
+    )
+    exploded = docs.select(
+        "doc_id", "text", F.explode(starts).alias("start")
+    )
+    chunk = F.col("text").substr(F.col("start") + 1, F.lit(_CHUNK_CHARS))
+    return (
+        exploded.select(
+            "doc_id",
+            (F.col("start") / _CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.col("start").cast("long").alias("start"),
+            F.least(F.lit(_CHUNK_CHARS), F.length("text") - F.col("start"))
+            .cast("long")
+            .alias("chunk_chars"),
+            F.substring(F.md5(chunk.cast("binary")), 1, 8).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 TRAINDATA_QUERIES = {
     "split_train_val_test": (q_split_train_val_test, SPLIT_SQL),
+    "corpus_mix_weighted": (q_corpus_mix_weighted, CORPUS_MIX_SQL),
+    "chunk_context_windows": (q_chunk_windows, CHUNK_WINDOWS_SQL),
     "stratified_sample_docs": (q_stratified_sample, SAMPLE_SQL),
     "topk_tokens_per_lang": (q_topk_tokens_per_lang, TOPK_TOKENS_SQL),
     "token_salience": (q_token_salience, TOKEN_SALIENCE_SQL),

@@ -1,0 +1,88 @@
+"""Driver-verified skew-mitigation queries: the salted join and the
+two-phase salted aggregation from :mod:`..operators.scale`, each run
+through the driver's DuckDB oracle gate.
+
+The oracle can't see the salt (it's an execution detail, not a
+semantic), which is exactly the point: the oracle SQL is the PLAIN
+join/aggregation, so a green driver row proves the salted plan computes
+the same answer. The plan-shape guarantees (hot key fans out over
+``n_salts`` tasks, dim side replicates exactly ``n_salts`` times) are
+asserted separately in tests/test_plan_shapes.py.
+
+At 100 TB these are the shapes that keep a skewed key from pinning one
+task: AQE's skew-join split handles sort-merge joins after the fact,
+but salting is the explicit tool when the hot key feeds an aggregation
+or the join strategy isn't skew-splittable; having both driver-checked
+means the scale path and the semantics are verified together.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.scale import salted_agg_count, salted_join
+from ..sources.testdata import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+_N_SALTS = 8
+
+# ---------------------------------------------------------------------------
+# 1. Salted two-phase count: events per user. Oracle = plain GROUP BY.
+# ---------------------------------------------------------------------------
+
+SALTED_USER_COUNTS_SQL = """
+  SELECT user_id, COUNT(*) AS n
+  FROM events
+  GROUP BY user_id
+  ORDER BY user_id
+"""
+
+
+def q_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return salted_agg_count(ev, "user_id", n_salts=_N_SALTS).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# 2. Salted fact-to-dim join: orders joined to customer on the salted
+# key, rolled up to revenue per market segment. Oracle = plain join.
+# ---------------------------------------------------------------------------
+
+SALTED_JOIN_SEGMENTS_SQL = """
+  SELECT c.c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+  ORDER BY 1
+"""
+
+
+def q_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    joined = salted_join(fact, dim, "custkey", n_salts=_N_SALTS)
+    return (
+        joined.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("segment")
+    )
+
+
+SCALE_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "skew_salted_user_counts": (q_salted_user_counts, SALTED_USER_COUNTS_SQL),
+    "skew_salted_join_segments": (q_salted_join_segments, SALTED_JOIN_SEGMENTS_SQL),
+}

@@ -138,6 +138,57 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 1b. As-of join with tolerance (pandas merge_asof(tolerance=...)
+# semantics): a match older than the staleness bound is dropped back to
+# NULL. Same union-then-window shape -- the tolerance is a post-filter
+# on the carried timestamp, so the scale story is unchanged (one
+# shuffle, no pair blow-up, no extra pass).
+# ---------------------------------------------------------------------------
+
+_ASOF_TOLERANCE_US = 1_800_000_000  # 30 minutes
+
+ASOF_TOLERANCE_SQL = f"""
+  WITH v AS (
+    SELECT user_id, ts, max(value) AS click_value
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2
+  ),
+  c AS (
+    SELECT event_id, user_id, ts, value AS purchase_value
+    FROM events WHERE event_type = 'purchase'
+  ),
+  m AS (
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, c.purchase_value,
+           v.click_value, epoch_us(v.ts) AS click_ts_us
+    FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+  )
+  SELECT event_id, user_id, ts_us, purchase_value,
+         CASE WHEN ts_us - click_ts_us <= {_ASOF_TOLERANCE_US}
+              THEN click_value END AS last_click_value,
+         CASE WHEN ts_us - click_ts_us <= {_ASOF_TOLERANCE_US}
+              THEN click_ts_us END AS click_ts_us
+  FROM m
+  ORDER BY event_id
+"""
+
+
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join bounded by a 30-minute staleness tolerance: a carried
+    click older than the bound reverts to NULL (no-match), matching
+    pandas ``merge_asof(tolerance=...)``."""
+    base = q_asof_join(spark, sf_dir)
+    fresh = (F.col("ts_us") - F.col("click_ts_us")) <= _ASOF_TOLERANCE_US
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "purchase_value",
+        F.when(fresh, F.col("last_click_value")).alias("last_click_value"),
+        F.when(fresh, F.col("click_ts_us")).alias("click_ts_us"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # 2. Banded range self-join: same-user event pairs within +/- 1 hour.
 # ---------------------------------------------------------------------------
 
@@ -388,6 +439,7 @@ def q_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEMPORAL_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "asof_join_clicks_purchases": (q_asof_join, ASOF_SQL),
+    "asof_join_tolerance": (q_asof_join_tolerance, ASOF_TOLERANCE_SQL),
     "range_join_event_pairs": (q_range_join, RANGE_JOIN_SQL),
     "time_bucket_rollup": (q_time_bucket_rollup, TIME_BUCKET_SQL),
     "scd2_customer_versions": (q_scd2_versions, SCD2_SQL),

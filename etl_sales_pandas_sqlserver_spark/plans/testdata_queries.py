@@ -495,6 +495,13 @@ _PRIORITY_HEAD: list[str] = [
     "grouping_sets_revenue",
     # oracle cast fixed in round 3 -- needs re-verification
     "tpch_q12_ship_latency",
+    # new in round 3 -- first driver rows needed
+    "skew_salted_user_counts",
+    "skew_salted_join_segments",
+    "asof_join_tolerance",
+    "corpus_mix_weighted",
+    "chunk_context_windows",
+    "embedding_knn_label",
 ]
 
 
@@ -506,6 +513,7 @@ def _register_extensions() -> None:
     from .analytics_queries import ANALYTICS_QUERIES
     from .array_queries import ARRAY_QUERIES
     from .incremental_queries import INCREMENTAL_QUERIES
+    from .scale_queries import SCALE_QUERIES
     from .sql_interface import SQL_INTERFACE_QUERIES
     from .temporal_queries import TEMPORAL_QUERIES
     from .tpch_more import TPCH_MORE_QUERIES
@@ -521,6 +529,7 @@ def _register_extensions() -> None:
     QUERIES.update(TPCH_MORE_QUERIES)
     QUERIES.update(TPCH_SUITE2_QUERIES)
     QUERIES.update(WINDOW_QUERIES)
+    QUERIES.update(SCALE_QUERIES)
     try:
         from ..functions.registry import FUNCTION_QUERIES
 

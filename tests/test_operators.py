@@ -234,6 +234,46 @@ def test_salted_join_equals_plain_join(spark):
     )
 
 
+def test_salted_join_spreads_hot_key_across_salts(spark):
+    """The skew-stress property behind salted_join: a hot key's rows
+    must occupy (nearly) all salt sub-keys with no salt holding a
+    dominant share -- otherwise the hot key still lands on one task and
+    the mechanism is defeated. Also pins the dim-side fan-out contract:
+    exactly n_salts replicas per dim row."""
+    n_salts = 8
+    # 90% of fact rows share key 7, with varying non-key columns (the
+    # salt hashes the full row, so a hot key spreads iff any column
+    # varies -- the documented contract)
+    fact = spark.range(0, 20000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    salted = fact.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)),
+    )
+    dist = {
+        r["_salt"]: r["cnt"]
+        for r in salted.filter(F.col("k") == 7)
+        .groupBy("_salt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    hot_total = sum(dist.values())
+    assert hot_total == 18000
+    assert len(dist) == n_salts, f"hot key occupies only salts {sorted(dist)}"
+    # no salt should hold more than 2x its fair share
+    assert max(dist.values()) < 2 * hot_total / n_salts, dist
+    # dim side: explode replicates every row exactly n_salts times
+    dim = spark.range(0, 100).select(F.col("id").alias("k"))
+    dim_salted = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    assert dim_salted.count() == 100 * n_salts
+
+
 def test_salted_agg_count_equals_groupby(spark):
     df = spark.range(0, 10000).select(
         F.when(F.col("id") % 5 < 4, F.lit("hot"))
