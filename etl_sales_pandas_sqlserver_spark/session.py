@@ -65,6 +65,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata parquet stores timestamp[us] with no timezone; without
+        # this, Spark 4 infers TIMESTAMP_NTZ, which unix_micros/watermarks
+        # reject and which diverges from the DuckDB oracle's naive-as-UTC
+        # reading. Reading as TIMESTAMP (LTZ) under the pinned UTC session
+        # tz gives identical instants on both engines.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")  # cast-to-null, see operators.numeric
         .config("spark.ui.showConsoleProgress", "false")

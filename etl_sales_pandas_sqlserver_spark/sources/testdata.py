@@ -19,10 +19,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table: {name!r}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
-        # natively (PARQUET_TYPE_ILLEGAL); read nanos as long and
-        # convert by integer division -- truncation to micros matches
-        # DuckDB's ns->us read of the same file.
+        # legacy testdata vintages stored ts as TIMESTAMP(NANOS), which
+        # Spark can only read as long (nanosAsLong); current vintages
+        # store timestamp[us] and read natively (as LTZ -- NTZ inference
+        # is disabled in session.get_spark to match the DuckDB oracle's
+        # naive-as-UTC reading). The LongType branch below converts the
+        # legacy case; truncation to micros matches DuckDB's ns->us read.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):

@@ -16,11 +16,11 @@ micro-batch slicing: the window agg is associative, and the session
 state transition is order-correct because each group's rows are sorted
 within the batch and the watermark admits no late data in replay.
 
-Event time handling: events.parquet stores TIMESTAMP(NANOS), which
-Spark reads only as long (legacy nanosAsLong); all math is integer
-microseconds (`ts div 1000`), so results are timezone-independent --
-window keys are emitted as epoch-hour integers, never formatted
-wall-clock strings.
+Event time handling: events.parquet stores timestamp[us] (no tz),
+declared TIMESTAMP under the session's pinned UTC timezone; all math is
+integer microseconds (`unix_micros`), so results are
+timezone-independent -- window keys are emitted as epoch-hour
+integers, never formatted wall-clock strings.
 """
 
 from __future__ import annotations
@@ -42,11 +42,13 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 _sink_counter = itertools.count()
 
-#: events.parquet read schema under spark.sql.legacy.parquet.nanosAsLong
-_EVENTS_NANOS_SCHEMA = T.StructType(
+#: events.parquet read schema: ts is stored as timestamp[us] with no
+#: timezone; declared TIMESTAMP (LTZ) under the session's pinned UTC tz
+#: it reads as the same instant the DuckDB oracle sees.
+_EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos-as-long
+        T.StructField("ts", T.TimestampType(), True),
         T.StructField("user_id", T.LongType(), True),
         T.StructField("event_type", T.StringType(), True),
         T.StructField("value", T.DoubleType(), True),
@@ -59,19 +61,17 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Finite file stream over events.parquet with event-time columns:
     ``ts_us`` (long micros) and ``event_time`` (timestamp, for
     window/watermark)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source wants a directory: stream the sf dir with
     # a glob that admits only the events table
     raw = (
-        spark.readStream.schema(_EVENTS_NANOS_SCHEMA)
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    ts_us = F.expr("ts div 1000")
     return raw.select(
         "event_id",
-        ts_us.alias("ts_us"),
-        F.timestamp_micros(ts_us).alias("event_time"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("ts").alias("event_time"),
         "user_id",
         "event_type",
         "value",
@@ -334,7 +334,7 @@ _ORDERS_STREAM_SCHEMA = T.StructType(
         T.StructField("o_custkey", T.LongType(), True),
         T.StructField("o_orderstatus", T.StringType(), True),
         T.StructField("o_totalprice", T.DoubleType(), True),
-        T.StructField("o_orderdate", T.TimestampNTZType(), True),
+        T.StructField("o_orderdate", T.TimestampType(), True),
         T.StructField("o_orderpriority", T.StringType(), True),
     ]
 )
