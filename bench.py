@@ -126,10 +126,24 @@ def main() -> None:
         "sf": sf,
         "ann_index_build_sec": ann_build_sec,
     }
+    full = {**summary, "queries": timings}
+    # stdout tail capture truncates the per-query map with 97 queries
+    # (round 3 lost positions 0-40), so persist the full object to a
+    # file the judge can always read; keep stdout for the driver
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
     # full line first (may overflow a tail capture; summary fields lead
     # so even a head capture parses the headline), compact line LAST so
     # a tail capture always ends on one complete parseable object
-    print(json.dumps({**summary, "queries": timings}), flush=True)
+    print(json.dumps(full), flush=True)
     print(json.dumps(summary), flush=True)
 
 

@@ -225,16 +225,19 @@ def q_token_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEQ_BUDGET = 4000
 
+#: DuckDB widens integer SUM to int128 (hugeint); the driver hashes by
+#: value *type*, so both SUM-derived columns cast back to BIGINT to
+#: match Spark's int64 (same bug class as the q12 fix, commit 3ab0c3d).
 PACK_SEQUENCES_SQL = f"""
   WITH assigned AS (
     SELECT lang, doc_id, n_chars,
-           (SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
-                               ROWS UNBOUNDED PRECEDING) - n_chars)
-             // {_SEQ_BUDGET} AS seq_id
+           CAST((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_chars)
+                // {_SEQ_BUDGET} AS BIGINT) AS seq_id
     FROM documents
   )
   SELECT lang, seq_id, COUNT(*) AS n_docs,
-         SUM(n_chars) AS total_chars,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
   FROM assigned
   GROUP BY lang, seq_id

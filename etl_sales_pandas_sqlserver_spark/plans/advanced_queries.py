@@ -362,7 +362,10 @@ WINDOW_DELTAS_SQL = """
 
 def q_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
     )
     w_time = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     w_val = Window.partitionBy("user_id").orderBy("value", "event_id")

@@ -335,7 +335,8 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact gap math (cast-to-long would truncate to
     # seconds and disagree with the oracle on 30:00.xx gaps)
-    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = tsu - F.lag(tsu).over(w)
     new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

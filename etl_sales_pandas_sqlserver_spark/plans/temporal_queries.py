@@ -51,7 +51,9 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
-        F.unix_micros("ts").alias("tsu"),
+        # cast: no-op on LTZ, rescues TIMESTAMP_NTZ if a caller bypasses
+        # load_table's declared-schema read under a vanilla session
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
     )
 
 
@@ -270,8 +272,12 @@ def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "event_type",
-        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("hour_bucket"),
-        F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day_bucket"),
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_HOUR_US}").alias(
+            "hour_bucket"
+        ),
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {_DAY_US}").alias(
+            "day_bucket"
+        ),
         "value",
     )
     grouped = e.groupingSets(

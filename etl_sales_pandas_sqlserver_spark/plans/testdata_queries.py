@@ -435,30 +435,62 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
 
 
 #: Registration-order head. The driver's per-round correctness run
-#: covers only the FIRST 50 registered queries; round 2's window ended
-#: at ``tpch_q13``, leaving the function/streaming/window/suite2-tail
-#: families with no driver row. Round 3 therefore leads with exactly
-#: those families (plus ``tpch_q12_ship_latency``, whose oracle cast
-#: was fixed this round and needs a fresh green row). Queries NOT in
-#: this list keep their prior relative order after the head and ride on
-#: their round-2 green rows. New queries added in round 3 are appended
-#: to this list so they land inside the 50-entry window too.
+#: covers only the FIRST 50 registered queries, so each round leads
+#: with exactly the queries whose code or input vintage changed since
+#: their last green driver row. Round 4 front-loads: the two r3
+#: failures (``asof_join_tolerance`` NTZ AnalysisException,
+#: ``pack_training_sequences`` oracle int128 hash), the five
+#: event-time queries whose only green row predates the timestamp[us]
+#: testdata vintage (they consumed raw ``unix_micros(ts)`` -- loader +
+#: call sites fixed this round), ``monthly_summary`` (the flagship,
+#: missed at position 50 in r3 by one), and every other consumer of
+#: the events loader path touched by the declared-schema read. Queries
+#: NOT in this list keep their prior relative order after the head and
+#: ride on their r2/r3 green rows.
 _PRIORITY_HEAD: list[str] = [
-    # functions: text analysis
+    # broken in r3 -- fixed this round, need fresh green rows
+    "asof_join_tolerance",
+    "pack_training_sequences",
+    # event-time queries: r2-green only, under the old long-typed
+    # vintage; re-verify under timestamp[us] + declared-schema loader
+    "sessionize_events",
+    "window_event_deltas",
+    "asof_join_clicks_purchases",
+    "range_join_event_pairs",
+    "time_bucket_rollup",
+    # flagship (reference main.py:156-179); position 50 in r3 -- one
+    # past the window
+    "monthly_summary",
+    # remaining consumers of the events loader path changed this round
+    "funnel_view_click_purchase",
+    "events_json_extract",
+    "window_moving_avg_7",
+    "window_range_1h_load",
+    "window_first_last_touch",
+    "stream_hourly_agg",
+    "stream_sessionize_stateful",
+    "stream_dedup_keys",
+    "stream_sliding_2h",
+    "stream_static_join_nation",
+    "stream_stream_join_attrib",
+    "skew_salted_user_counts",
+    "status_run_histogram",
+    # r3-green but perf-weak (VERDICT r3) -- keep inside the window so
+    # the re-timed rows land in CORRECTNESS/BENCH together
+    "sql_region_year_revenue",
+    # the rest of the r3 window, unchanged code, pushed behind the
+    # re-verification set but still inside the 50-query window
     "text_token_stats",
     "text_repetition_scores",
     "text_quality_scores",
     "text_lang_id",
     "text_fingerprint",
     "text_pii_redact",
-    # functions: training-data prep
     "split_train_val_test",
     "stratified_sample_docs",
     "topk_tokens_per_lang",
     "token_salience",
-    "pack_training_sequences",
     "quantize_embeddings_int8",
-    # functions: dedup family
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -466,42 +498,16 @@ _PRIORITY_HEAD: list[str] = [
     "dedup_embedding_cosine",
     "dedup_clusters",
     "dedup_decontaminate",
-    # functions: similarity search
     "similarity_topk_exact",
     "similarity_topk_ann",
     "similarity_topk_ivf",
     "similarity_topk_ann_indexed",
-    # functions: multimodal
     "multimodal_binary_features",
     "multimodal_frame_sample",
-    # streaming
-    "stream_hourly_agg",
-    "stream_sessionize_stateful",
-    "stream_dedup_keys",
-    "stream_sliding_2h",
-    "stream_static_join_nation",
-    "stream_stream_join_attrib",
-    # TPC-H suite2 tail (no driver row in r2)
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_sales_opportunity",
-    # window tail (no driver row in r2)
-    "window_moving_avg_7",
-    "window_range_1h_load",
-    "window_first_last_touch",
-    "grouping_sets_revenue",
-    # oracle cast fixed in round 3 -- needs re-verification
-    "tpch_q12_ship_latency",
-    # new in round 3 -- first driver rows needed
-    "skew_salted_user_counts",
-    "skew_salted_join_segments",
-    "asof_join_tolerance",
     "corpus_mix_weighted",
     "chunk_context_windows",
     "embedding_knn_label",
+    "skew_salted_join_segments",
 ]
 
 

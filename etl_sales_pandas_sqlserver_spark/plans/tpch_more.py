@@ -7,7 +7,10 @@ commitdate/receiptdate/shipmode) and each with a DuckDB oracle twin.
 Scale notes per query below; shared numeric rules follow
 plans/testdata_queries.py: DECIMAL-accumulated money sums cast back to
 DOUBLE, single double division on identical operands for ratios, and
-epoch-free NTZ interval arithmetic identical on both engines.
+timestamp literals cast to the column's *runtime* type (LTZ under the
+engine session, NTZ under a vanilla driver session -- see ``_ts_lit``)
+so interval arithmetic and range predicates never lean on cross-type
+coercion that would shift with the session timezone.
 """
 
 from __future__ import annotations
@@ -26,6 +29,15 @@ _HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
 
 def _dec(c: str):
     return F.col(c).cast("decimal(18,2)")
+
+
+def _ts_lit(df: DataFrame, col: str, value: str):
+    """Literal cast to ``col``'s actual runtime type. The engine
+    session reads parquet timestamp[us] as TIMESTAMP (NTZ inference
+    disabled); a vanilla driver session infers TIMESTAMP_NTZ. Matching
+    the column's own type keeps the comparison coercion-free in both
+    worlds, so it cannot shift with the session timezone."""
+    return F.lit(value).cast(df.schema[col].dataType)
 
 
 # ---------------------------------------------------------------------------
@@ -55,8 +67,8 @@ TPCH_Q4_SQL = """
 def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
-    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    lo = _ts_lit(orders, "o_orderdate", "1996-01-01 00:00:00")
+    hi = _ts_lit(orders, "o_orderdate", "1998-01-01 00:00:00")
     in_window = orders.filter(
         (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
     )
@@ -103,8 +115,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
-    lo = F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
-    hi = F.lit("1999-01-01 00:00:00").cast("timestamp_ntz")
+    lo = _ts_lit(orders, "o_orderdate", "1996-01-01 00:00:00")
+    hi = _ts_lit(orders, "o_orderdate", "1999-01-01 00:00:00")
     joined = (
         customer.join(
             orders.filter(
@@ -214,8 +226,8 @@ TPCH_Q14_SQL = """
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    lo = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
-    hi = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    lo = _ts_lit(li, "l_shipdate", "1997-01-01 00:00:00")
+    hi = _ts_lit(li, "l_shipdate", "1998-01-01 00:00:00")
     disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     j = (
         li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))

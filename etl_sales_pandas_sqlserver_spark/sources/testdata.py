@@ -1,16 +1,34 @@
 """Parquet loaders for the driver testdata star schema.
 
-Declared schemas only -- parquet carries its own schema; we assert the
-expected column set so downstream plans fail loudly on drift instead of
-silently resolving to a wrong column (reference behavior on errors is
-``return pd.DataFrame()``, main.py:149-151 -- an explicit non-goal).
+``events`` is read with its declared ``StructType``: the testdata
+stores ``ts`` as parquet ``timestamp[us]`` with no timezone, which a
+**vanilla** Spark 4 session (``spark.sql.parquet.inferTimestampNTZ.
+enabled=true`` by default) infers as TIMESTAMP_NTZ -- and
+``unix_micros`` / watermarks / interval arithmetic then fail with
+DATATYPE_MISMATCH. Declaring TimestampType (LTZ) pins the type
+regardless of which session runs the plan; the raw stored micros are
+then read as UTC-epoch instants, so every epoch-microsecond output is
+timezone-independent and matches DuckDB's ``epoch_us`` on the same
+naive values. (Same pattern as ``streaming/queries.py``'s stream
+schema, which went green under the driver in round 3.)
+
+The other tables keep schema inference: their timestamp columns
+(``o_orderdate``, ``l_shipdate``) are only compared/formatted as
+*dates*, for which the driver's NTZ read is timezone-proof and has
+been driver-verified green; forcing LTZ there would make date
+extraction depend on the session timezone for no benefit.
+
+We still fail loudly on column drift -- a declared-schema read
+silently null-fills missing columns, so events asserts against the
+footer's inferred column set first (footer-only metadata read,
+negligible at any scale). The reference instead swallows errors into
+an empty frame (``main.py:149-151``, ``return pd.DataFrame()``) -- an
+explicit non-goal.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..schemas import TESTDATA_TABLES
 
@@ -18,21 +36,14 @@ from ..schemas import TESTDATA_TABLES
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table: {name!r}")
-    if name == "events":
-        # legacy testdata vintages stored ts as TIMESTAMP(NANOS), which
-        # Spark can only read as long (nanosAsLong); current vintages
-        # store timestamp[us] and read natively (as LTZ -- NTZ inference
-        # is disabled in session.get_spark to match the DuckDB oracle's
-        # naive-as-UTC reading). The LongType branch below converts the
-        # legacy case; truncation to micros matches DuckDB's ns->us read.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    df = spark.read.parquet(path)
     expected = {f.name for f in TESTDATA_TABLES[name].fields}
     got = set(df.columns)
     if not expected.issubset(got):
         raise ValueError(f"{name}: missing columns {sorted(expected - got)}")
+    if name == "events":
+        return spark.read.schema(TESTDATA_TABLES[name]).parquet(path)
     return df
 
 
