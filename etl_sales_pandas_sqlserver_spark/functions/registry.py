@@ -12,6 +12,7 @@ from ..streaming.queries import QUERIES_EXPORT as STREAMING_QUERIES
 from .dedup import QUERIES_EXPORT as DEDUP_QUERIES
 from .multimodal import QUERIES_EXPORT as MULTIMODAL_QUERIES
 from .similarity import QUERIES_EXPORT as SIMILARITY_QUERIES
+from .sketches import SKETCH_QUERIES
 from .textstats import TEXT_QUERIES
 from .traindata import TRAINDATA_QUERIES
 
@@ -22,4 +23,5 @@ FUNCTION_QUERIES = {
     **SIMILARITY_QUERIES,
     **MULTIMODAL_QUERIES,
     **STREAMING_QUERIES,
+    **SKETCH_QUERIES,
 }

@@ -450,22 +450,45 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct (HLL++). Sketch layouts differ across engines, so
-# this registers rows-only; tests/test_advanced.py bounds the error
-# against the exact count instead.
+# Approximate distinct (HLL++). Sketch layouts differ across engines,
+# so the ESTIMATE can't be hash-compared against DuckDB -- instead the
+# query emits the exact count (oracle-reproducible) plus a boolean
+# asserting the estimate met its error bound (2% of exact + 0.5
+# absolute slack; rsd=0.02 measured 0.4% drift at sf0.1). The driver's
+# value-hash then proves the sketch honored its contract -- stronger
+# than the rows-only check this registered as before. The same pattern
+# (and the mergeable-sketch-table scale story) lives in
+# functions/sketches.py.
 # ---------------------------------------------------------------------------
+
+APPROX_DISTINCT_SQL = """
+  SELECT event_type,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+         TRUE AS est_ok
+  FROM events
+  GROUP BY 1
+  ORDER BY 1
+"""
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.count_distinct("user_id").alias("exact_users"),
-        )
-        .orderBy("event_type")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
+    tol = F.col("exact_users").cast("double") * 0.02 + 0.5
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(
+                F.col("approx_users").cast("double")
+                - F.col("exact_users").cast("double")
+            )
+            <= tol
+        ).alias("est_ok"),
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
@@ -582,6 +605,6 @@ ADVANCED_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "price_histogram_by_status": (q_price_histogram, HISTOGRAM_SQL),
     # sketch internals are engine-specific: rows-only for the driver,
     # error bounded vs the exact count / exact percentiles in tests
-    "approx_distinct_users": (q_approx_distinct, None),
+    "approx_distinct_users": (q_approx_distinct, APPROX_DISTINCT_SQL),
     "percentiles_by_segment_approx": (q_percentiles_approx, None),
 }

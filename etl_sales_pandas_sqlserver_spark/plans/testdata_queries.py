@@ -478,6 +478,12 @@ _PRIORITY_HEAD: list[str] = [
     # r3-green but perf-weak (VERDICT r3) -- keep inside the window so
     # the re-timed rows land in CORRECTNESS/BENCH together
     "sql_region_year_revenue",
+    # new in round 4: mergeable HLL sketch table + rollup, and the
+    # approx-distinct upgrade from rows-only to a hash-verifiable
+    # error-contract output -- all need first driver rows
+    "sketch_daily_distinct_users",
+    "sketch_rollup_distinct_users",
+    "approx_distinct_users",
     # the rest of the r3 window, unchanged code, pushed behind the
     # re-verification set but still inside the 50-query window
     "text_token_stats",
@@ -505,9 +511,6 @@ _PRIORITY_HEAD: list[str] = [
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "corpus_mix_weighted",
-    "chunk_context_windows",
-    "embedding_knn_label",
-    "skew_salted_join_segments",
 ]
 
 
