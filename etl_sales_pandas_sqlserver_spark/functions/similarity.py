@@ -27,8 +27,12 @@ global top-k shuffle. Nothing ever shuffles the vectors.
   inverted lists by nearest centroid; each query searches its
   _IVF_NPROBE nearest lists and reranks exactly.
 
-Approximate variants are registered rows-only for the driver;
-tests/test_functions.py asserts recall@k against the exact baseline.
+Approximate variants register their RESULT SETS rows-only for the
+driver (the sets are approximate by construction), but their recall
+floors are oracle-checked: ``similarity_ann_recall_contract`` computes
+recall@k of every variant against the exact baseline inside Spark and
+emits one boolean per variant for the driver's value-hash.
+tests/test_functions.py additionally asserts the floors unit-side.
 
 Recall caveat, measured honestly: the synthetic test embeddings are
 near-uniform on the sphere (max pairwise cosine ~0.5), which is the
@@ -519,14 +523,81 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ANN recall contract: the approximate variants can't be hash-compared
+# against an oracle (the result set is approximate by construction),
+# but their RECALL floor can be — compute recall@k of every variant
+# against the exact baseline inside Spark and emit one boolean per
+# variant; the oracle is three literal TRUE rows, and the driver's
+# value-hash proves the floors held. Floors are the measured minima
+# across sf0.001/0.01/0.1 minus a wide margin (lsh 0.625-0.825 → 0.45;
+# ivf 0.50-0.575 → 0.35) — near-uniform synthetic vectors are ANN's
+# worst case, see the module docstring.
+# ---------------------------------------------------------------------------
+
+_RECALL_FLOORS = {"ivf": 0.35, "lsh": 0.45, "lsh_indexed": 0.45}
+
+ANN_RECALL_SQL = """
+  SELECT 'ivf' AS variant, TRUE AS recall_floor_ok
+  UNION ALL SELECT 'lsh', TRUE
+  UNION ALL SELECT 'lsh_indexed', TRUE
+  ORDER BY variant
+"""
+
+
+def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_topk_exact(spark, sf_dir).select("query_id", "neighbor_id")
+    variants = [
+        ("ivf", q_topk_ivf),
+        ("lsh", q_topk_ann),
+        ("lsh_indexed", q_topk_ann_indexed),
+    ]
+    tagged = None
+    for name, fn in variants:
+        part = fn(spark, sf_dir).select(
+            F.lit(name).alias("variant"), "query_id", "neighbor_id"
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    # the exact pair set is n_queries * k rows — broadcast-size by
+    # definition; recall = |approx ∩ exact| / |exact| per variant
+    n_exact = exact.count()
+    hits = (
+        tagged.join(F.broadcast(exact), ["query_id", "neighbor_id"])
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    # left-join from a static variant list so a zero-hit (or
+    # empty-corpus) variant still emits its row instead of vanishing
+    # from the groupBy; an empty corpus has no recall to miss, so it
+    # passes vacuously
+    base = spark.createDataFrame(
+        [(n,) for n in sorted(_RECALL_FLOORS)], "variant string"
+    )
+    floor = F.when(
+        F.col("variant") == "ivf", F.lit(_RECALL_FLOORS["ivf"])
+    ).otherwise(F.lit(_RECALL_FLOORS["lsh"]))
+    recall = F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(
+        float(max(n_exact, 1))
+    )
+    return (
+        base.join(hits, "variant", "left")
+        .select(
+            "variant",
+            ((recall >= floor) | F.lit(n_exact == 0)).alias("recall_floor_ok"),
+        )
+        .orderBy("variant")
+    )
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "similarity_topk_exact": (q_topk_exact, TOPK_EXACT_SQL),
     "embedding_knn_label": (q_knn_label, KNN_LABEL_SQL),
-    # approximate by construction: rows-only for the driver, recall@k
-    # asserted against the exact baseline in tests/test_functions.py
+    # approximate by construction: the RESULT SETS register rows-only;
+    # the recall contract below registers their floors oracle-checked
     "similarity_topk_ann": (q_topk_ann, None),
     "similarity_topk_ivf": (q_topk_ivf, None),
     # identical results to similarity_topk_ann (asserted in tests);
     # reads a bucket-partitioned index with partition pruning
     "similarity_topk_ann_indexed": (q_topk_ann_indexed, None),
+    "similarity_ann_recall_contract": (q_ann_recall_contract, ANN_RECALL_SQL),
 }

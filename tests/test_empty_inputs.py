@@ -1,9 +1,10 @@
 """Empty-input robustness: every operator family must degrade to an
 empty (or zero-valued) result on zero-row tables, never crash. The
 fixture preserves the testdata's exact parquet physical types
-(including events' TIMESTAMP(NANOS)) via pyarrow, so the loaders'
-type handling is exercised too. Caught live: the similarity top-k
-family crashed in numpy on an empty query batch (1-D empty matrix).
+(events' ts is timestamp[us] in the current vintage) via pyarrow, so
+the loaders' type handling is exercised too. Caught live: the
+similarity top-k family crashed in numpy on an empty query batch
+(1-D empty matrix).
 """
 
 from __future__ import annotations
