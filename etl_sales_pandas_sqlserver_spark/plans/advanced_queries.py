@@ -471,6 +471,73 @@ APPROX_DISTINCT_SQL = """
 """
 
 
+# ---------------------------------------------------------------------------
+# Percentile-sketch error contract: percentile_approx (Greenwald-
+# Khanna, accuracy 10_000) guarantees the returned element's rank is
+# within n/accuracy of the target rank. The contract checks it in RANK
+# space -- no interpolation, so it is exact at any n: pass 1 computes
+# the sketch values per segment; pass 2 joins them back (broadcast --
+# |segments| x 3 values) and counts rows strictly below / at-or-below
+# each sketch value, giving the value's exact rank interval [lt+1, le];
+# the verdict is whether that interval intersects the target rank
+# window ceil((p +/- 0.001) * n) +/- 1 (10x the guaranteed rank error
+# plus one-rank slack for ties at window edges). Verdict booleans are
+# what the DuckDB oracle reproduces as TRUE. Two passes over the fact
+# table is verification-harness shape, not the production path --
+# production runs the one-pass sketch alone
+# (percentiles_by_segment_approx); this query exists so the driver can
+# hash-verify the sketch's error bound.
+# ---------------------------------------------------------------------------
+
+_PCT_EPS = 0.001
+
+PCT_CONTRACT_SQL = """
+  SELECT c.c_mktsegment AS mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p90_ok
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+  ORDER BY 1
+"""
+
+
+def q_percentiles_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(F.col("c_mktsegment").alias("mktsegment"), "o_totalprice")
+    sketch = joined.groupBy("mktsegment").agg(
+        *[
+            F.percentile_approx("o_totalprice", p, 10_000).alias(f"a{tag}")
+            for tag, p in _PCTS
+        ]
+    )
+    ranked = joined.join(F.broadcast(sketch), "mktsegment")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for tag, _p in _PCTS:
+        a = F.col(f"a{tag}")
+        aggs += [
+            F.sum((F.col("o_totalprice") < a).cast("long")).alias(f"lt{tag}"),
+            F.sum((F.col("o_totalprice") <= a).cast("long")).alias(f"le{tag}"),
+        ]
+    agg = ranked.groupBy("mktsegment").agg(*aggs)
+    n = F.col("n_rows")
+    cols = [F.col("mktsegment"), n]
+    for tag, p in _PCTS:
+        lo_rank = F.greatest(
+            F.ceil(F.lit(max(0.0, p - _PCT_EPS)) * n) - F.lit(1), F.lit(1)
+        )
+        hi_rank = F.least(
+            F.ceil(F.lit(min(1.0, p + _PCT_EPS)) * n) + F.lit(1), n
+        )
+        ok = (F.col(f"lt{tag}") + F.lit(1) <= hi_rank) & (
+            F.col(f"le{tag}") >= lo_rank
+        )
+        cols.append(ok.alias(f"p{tag}_ok"))
+    return agg.select(*cols).orderBy("mktsegment")
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     agg = ev.groupBy("event_type").agg(
@@ -607,4 +674,5 @@ ADVANCED_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     # error bounded vs the exact count / exact percentiles in tests
     "approx_distinct_users": (q_approx_distinct, APPROX_DISTINCT_SQL),
     "percentiles_by_segment_approx": (q_percentiles_approx, None),
+    "percentiles_approx_contract": (q_percentiles_contract, PCT_CONTRACT_SQL),
 }

@@ -485,6 +485,7 @@ _PRIORITY_HEAD: list[str] = [
     "sketch_rollup_distinct_users",
     "approx_distinct_users",
     "similarity_ann_recall_contract",
+    "percentiles_approx_contract",
     # the rest of the r3 window, unchanged code, pushed behind the
     # re-verification set but still inside the 50-query window
     "text_token_stats",
@@ -510,7 +511,6 @@ _PRIORITY_HEAD: list[str] = [
     "similarity_topk_ivf",
     "similarity_topk_ann_indexed",
     "multimodal_binary_features",
-    "multimodal_frame_sample",
 ]
 
 

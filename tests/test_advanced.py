@@ -112,3 +112,20 @@ def test_intersect_except_partition_property(spark, sf_small):
         .collect()
     }
     assert both | only_o == o_keys
+
+
+def test_percentile_contract_holds(spark, sf_small):
+    """The rank-interval contract the query emits as booleans must
+    actually hold at the smallest scale (where interpolation-based
+    bounds once failed: a +/-0.002 quantile window is sub-one-rank at
+    300 rows/segment)."""
+    from etl_sales_pandas_sqlserver_spark.plans.advanced_queries import (
+        q_percentiles_contract,
+    )
+
+    rows = q_percentiles_contract(spark, sf_small).collect()
+    assert rows, "no segments"
+    for r in rows:
+        assert r.n_rows > 0
+        for tag in ("p25_ok", "p50_ok", "p90_ok"):
+            assert r[tag], f"{r.mktsegment}: {tag} contract violated"

@@ -46,3 +46,27 @@ def test_q6_filters_reach_scan(spark, sf_small):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert pushed.strip(), "expected non-empty pushed filters on the scan"
+
+
+def test_recall_contract_broadcasts_exact_pairs(spark, sf_small):
+    # the n_queries*k exact pair set must broadcast to the tagged ANN
+    # union, never shuffle the union for a sort-merge join
+    fn, _ = QUERIES["similarity_ann_recall_contract"]
+    assert "BroadcastHashJoin" in _physical(fn(spark, sf_small))
+
+
+def test_sketch_daily_prunes_columns(spark, sf_small):
+    # the sketch build must read only (ts, user_id, event_type) from
+    # the 6-column events table
+    fn, _ = QUERIES["sketch_daily_distinct_users"]
+    plan = _physical(fn(spark, sf_small))
+    assert "ReadSchema" in plan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "props" not in read and "value" not in read, read
+
+
+def test_percentile_contract_broadcasts_sketch(spark, sf_small):
+    # pass 2 joins the per-segment sketch values (|segments| rows)
+    # back to facts -- must broadcast, not shuffle the fact table
+    fn, _ = QUERIES["percentiles_approx_contract"]
+    assert "BroadcastHashJoin" in _physical(fn(spark, sf_small))
