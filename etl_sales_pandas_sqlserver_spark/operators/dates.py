@@ -65,3 +65,27 @@ def iso_date(col: Column | str) -> Column:
     main.py:209)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.date_format(c, "yyyy-MM-dd")
+
+
+def epoch_us(df: "DataFrame", col: str) -> Column:
+    """Epoch microseconds of a parquet timestamp column, independent of
+    the session timezone AND of how the session read the column.
+
+    The testdata stores naive ``timestamp[us]``; the engine session
+    reads it as TIMESTAMP (LTZ, NTZ inference off) while a vanilla
+    driver session infers TIMESTAMP_NTZ. ``unix_micros`` on LTZ is
+    instant-based (timezone-free), but NTZ first needs a cast -- and
+    ``cast("timestamp")`` interprets the naive value in the SESSION
+    timezone, silently shifting epoch outputs on any non-UTC host
+    (caught by a full oracle run under TZ=America/New_York). For NTZ
+    the timezone-free spelling is pure datetime arithmetic against the
+    NTZ epoch literal.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`)"
+        )
+    return F.unix_micros(F.col(col))

@@ -35,6 +35,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.dates import epoch_us
 from ..sources.testdata import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -51,9 +52,9 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
-        # cast: no-op on LTZ, rescues TIMESTAMP_NTZ if a caller bypasses
-        # load_table's declared-schema read under a vanilla session
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("tsu"),
+        # type-aware epoch: TZ-free for both the loader's LTZ read and
+        # a bypassing caller's NTZ-inferred read
+        epoch_us(ev, "ts").alias("tsu"),
     )
 
 
@@ -364,9 +365,11 @@ def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = (
         orders.select(
             F.col("o_custkey").alias("custkey"),
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
-                "change_us"
-            ),
+            # NOT cast("timestamp"): o_orderdate is NTZ under a vanilla
+            # session and the cast would shift epoch outputs by the
+            # session-timezone offset (TZ=America/New_York oracle run
+            # caught exactly this)
+            epoch_us(orders, "o_orderdate").alias("change_us"),
             F.expr(_PRIORITY_SEGMENT).alias("segment"),
             F.row_number().over(w).alias("rn"),
         )
@@ -424,7 +427,7 @@ TEMPORAL_DIM_JOIN_SQL = f"""
 def q_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     versions = _scd2_versions(spark, sf_dir)
-    ots = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    ots = epoch_us(orders, "o_orderdate")
     j = orders.join(
         versions,
         (orders.o_custkey == versions.custkey)

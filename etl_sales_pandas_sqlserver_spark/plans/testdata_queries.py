@@ -486,6 +486,11 @@ _PRIORITY_HEAD: list[str] = [
     "approx_distinct_users",
     "similarity_ann_recall_contract",
     "percentiles_approx_contract",
+    # epoch_us TZ-proofing changed these three this round (the plain
+    # cast("timestamp") shifted epoch outputs on non-UTC hosts)
+    "scd2_customer_versions",
+    "temporal_dim_join_segments",
+    "tpch_q18_large_volume_customers",
     # the rest of the r3 window, unchanged code, pushed behind the
     # re-verification set but still inside the 50-query window
     "text_token_stats",
@@ -508,9 +513,6 @@ _PRIORITY_HEAD: list[str] = [
     "dedup_decontaminate",
     "similarity_topk_exact",
     "similarity_topk_ann",
-    "similarity_topk_ivf",
-    "similarity_topk_ann_indexed",
-    "multimodal_binary_features",
 ]
 
 

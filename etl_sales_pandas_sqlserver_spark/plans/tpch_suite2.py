@@ -24,6 +24,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dates import epoch_us
 from ..sources.testdata import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -444,9 +445,10 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").alias("custkey"),
             F.col("c_name").alias("cust_name"),
             F.col("o_orderkey").alias("orderkey"),
-            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
-                "orderdate_us"
-            ),
+            # type-aware epoch (operators.dates.epoch_us): a plain
+            # cast("timestamp") shifts NTZ inputs by the session-tz
+            # offset on non-UTC hosts
+            epoch_us(orders, "o_orderdate").alias("orderdate_us"),
             F.col("o_totalprice").cast("double").alias("totalprice"),
         )
         .agg(F.sum(_dec2("l_quantity")).cast("double").alias("total_qty"))
