@@ -364,3 +364,34 @@ def test_cluster_components_raises_on_nonconvergence(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         cluster_components(path, max_rounds=3).collect()
+
+
+def test_epoch_us_identical_for_ntz_and_ltz(spark):
+    """epoch_us must yield the same microseconds for a naive timestamp
+    whether the session read it as NTZ or LTZ, under any session tz --
+    the TZ=America/New_York oracle sweep caught cast-based spellings
+    shifting by the session offset."""
+    from pyspark.sql import functions as F
+
+    from etl_sales_pandas_sqlserver_spark.operators.dates import epoch_us
+
+    ntz = spark.range(1).select(
+        F.lit("2024-06-01 12:34:56.789012").cast("timestamp_ntz").alias("t")
+    )
+    ltz = spark.range(1).select(
+        F.lit("2024-06-01 12:34:56.789012").cast("timestamp").alias("t")
+    )
+    expected = 1717245296789012  # 2024-06-01T12:34:56.789012 UTC
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            got_ntz = ntz.select(epoch_us(ntz, "t").alias("us")).collect()[0].us
+            # NTZ path is wall-clock arithmetic: identical under any tz
+            assert got_ntz == expected, (tz, got_ntz)
+        # LTZ literal parsed under UTC: instant-based epoch matches too
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        got_ltz = ltz.select(epoch_us(ltz, "t").alias("us")).collect()[0].us
+        assert got_ltz == expected, got_ltz
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
