@@ -794,8 +794,82 @@ CLUSTER_COMPONENTS_SQL = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# 8. Repeated-span detection: the SUBSTRING-level exact-dedup building
+# block (the doc-level detectors above can't see a paragraph pasted
+# into otherwise-distinct documents -- the case "Deduplicating Training
+# Data Makes Language Models Better" [Lee et al. 2022] showed matters
+# for LLM corpora; their suffix-array approach finds arbitrary-length
+# repeats, this is the fixed-width n-gram-window variant that
+# distributes as a plain inverted index). Every 13-token window is
+# md5'd INSIDE the row (transform over a position sequence -- no
+# O(len^2) array replication through an explode), then one hash-agg
+# shuffle on the fixed-width span key counts occurrences and distinct
+# docs; only spans seen in >= 2 distinct docs survive. Shuffles
+# (doc_id, 32-char md5) pairs, never text; map-side partial
+# aggregation collapses within-doc repeats before the wire. md5 is
+# bit-identical across Spark and DuckDB, so the full pipeline --
+# tokenize, window, hash, count -- is oracle-checked.
+# ---------------------------------------------------------------------------
+
+_SPAN_TOKENS = 13
+
+REPEATED_SPANS_SQL = f"""
+  WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+  ),
+  spans AS (
+    SELECT doc_id,
+           md5(array_to_string(t[p:p+{_SPAN_TOKENS - 1}], ' ')) AS span_md5
+    FROM (
+      SELECT doc_id, t,
+             unnest(generate_series(1, len(t) - {_SPAN_TOKENS - 1})) AS p
+      FROM toks
+      WHERE len(t) >= {_SPAN_TOKENS}
+    )
+  )
+  SELECT span_md5,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM spans
+  GROUP BY span_md5
+  HAVING COUNT(DISTINCT doc_id) >= 2
+  ORDER BY span_md5
+"""
+
+
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # guard: Spark's sequence(1, stop) DESCENDS for stop < 1 (sequence
+    # (1,0) = [1,0], and slice at position 0 throws), so short docs
+    # must short-circuit to an empty span array
+    spans = F.expr(
+        f"CASE WHEN size(t) >= {_SPAN_TOKENS} THEN "
+        f"transform(sequence(1, size(t) - {_SPAN_TOKENS - 1}),"
+        f" p -> md5(concat_ws(' ', slice(t, p, {_SPAN_TOKENS}))))"
+        f" ELSE array() END"
+    )
+    exploded = (
+        docs.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+        )
+        .select("doc_id", F.explode(spans).alias("span_md5"))
+    )
+    return (
+        exploded.groupBy("span_md5")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("span_md5")
+    )
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "dedup_exact": (q_exact_dedup, EXACT_DEDUP_SQL),
+    "dedup_repeated_spans": (q_repeated_spans, REPEATED_SPANS_SQL),
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _EXACT_JACCARD_PAIRS_SQL),
     "dedup_minhash_lsh": (q_minhash_lsh_pairs, _EXACT_JACCARD_PAIRS_SQL),
     "dedup_simhash": (q_simhash_pairs, SIMHASH_SQL),

@@ -491,6 +491,9 @@ _PRIORITY_HEAD: list[str] = [
     "scd2_customer_versions",
     "temporal_dim_join_segments",
     "tpch_q18_large_volume_customers",
+    # new in round 4: substring-level exact dedup (repeated 13-token
+    # spans across documents)
+    "dedup_repeated_spans",
     # the rest of the r3 window, unchanged code, pushed behind the
     # re-verification set but still inside the 50-query window
     "text_token_stats",
@@ -512,7 +515,6 @@ _PRIORITY_HEAD: list[str] = [
     "dedup_clusters",
     "dedup_decontaminate",
     "similarity_topk_exact",
-    "similarity_topk_ann",
 ]
 
 
