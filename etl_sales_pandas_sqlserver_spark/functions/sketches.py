@@ -34,6 +34,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.dates import epoch_us
 from ..sources.testdata import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -42,9 +43,17 @@ _LG_K = 14
 _DAY_US = 86_400_000_000
 
 
-def _day_bucket():
-    # epoch-integer division: timezone-independent on both engines
-    return F.expr(f"unix_micros(ts) div {_DAY_US}")
+def _with_day_bucket(df: DataFrame) -> DataFrame:
+    """Add a ``day_bucket`` column via the type-aware ``epoch_us``
+    helper (operators/dates.py) so the sketch family stays correct even
+    when handed a raw-read (TIMESTAMP_NTZ) events table on a non-UTC
+    host -- the exact failure class that broke ``asof_join_tolerance``
+    in round 3. Integer ``div`` on the bigint epoch keeps full
+    precision (no double rounding) and matches DuckDB ``//`` for the
+    non-negative epochs in play."""
+    return df.withColumn("_epoch_us", epoch_us(df, "ts")).withColumn(
+        "day_bucket", F.expr(f"_epoch_us div {_DAY_US}")
+    )
 
 
 def _est_ok(est, exact):
@@ -73,9 +82,9 @@ def q_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count so the driver can verify the error contract. In
     production the ``sk`` binary itself is what you persist; the exact
     count exists only for verification."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = _with_day_bucket(load_table(spark, sf_dir, "events"))
     agg = (
-        ev.groupBy("event_type", _day_bucket().alias("day_bucket"))
+        ev.groupBy("event_type", "day_bucket")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.count_distinct("user_id").alias("exact_users"),
@@ -110,8 +119,8 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a) the unioned estimate meets the error bound against the exact
     count and (b) the union was exactly lossless -- bit-identical
     estimate to sketching the whole column in one pass."""
-    ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy("event_type", _day_bucket().alias("day_bucket")).agg(
+    ev = _with_day_bucket(load_table(spark, sf_dir, "events"))
+    daily = ev.groupBy("event_type", "day_bucket").agg(
         F.hll_sketch_agg("user_id", F.lit(_LG_K)).alias("sk")
     )
     rolled = daily.groupBy("event_type").agg(

@@ -25,6 +25,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.dates import epoch_us
 from ..sources.testdata import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -361,10 +362,13 @@ WINDOW_DELTAS_SQL = """
 
 
 def q_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
         "event_id",
         "user_id",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        # type-aware epoch: cast("timestamp") on an NTZ read shifts by
+        # the session TZ; epoch_us stays instant-exact either way
+        epoch_us(raw, "ts").alias("ts_us"),
         "value",
     )
     w_time = Window.partitionBy("user_id").orderBy("ts_us", "event_id")

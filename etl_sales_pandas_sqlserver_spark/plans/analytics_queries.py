@@ -18,6 +18,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.dates import epoch_us
 from ..sources.testdata import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -334,8 +335,9 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact gap math (cast-to-long would truncate to
-    # seconds and disagree with the oracle on 30:00.xx gaps)
-    tsu = F.unix_micros(F.col("ts").cast("timestamp"))
+    # seconds and disagree with the oracle on 30:00.xx gaps);
+    # type-aware epoch so an NTZ read can't shift by session TZ
+    tsu = epoch_us(events, "ts")
     gap = tsu - F.lag(tsu).over(w)
     new_session = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(

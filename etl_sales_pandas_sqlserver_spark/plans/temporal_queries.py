@@ -270,15 +270,12 @@ TIME_BUCKET_SQL = f"""
 
 
 def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.withColumn("_epoch_us", epoch_us(raw, "ts"))
     e = ev.select(
         "event_type",
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_HOUR_US}").alias(
-            "hour_bucket"
-        ),
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {_DAY_US}").alias(
-            "day_bucket"
-        ),
+        F.expr(f"_epoch_us div {_HOUR_US}").alias("hour_bucket"),
+        F.expr(f"_epoch_us div {_DAY_US}").alias("day_bucket"),
         "value",
     )
     grouped = e.groupingSets(
