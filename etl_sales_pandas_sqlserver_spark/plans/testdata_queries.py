@@ -434,19 +434,11 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
 }
 
 
-#: Registration-order head. The driver's per-round correctness run
-#: covers only the FIRST 50 registered queries, so each round leads
-#: with exactly the queries whose code or input vintage changed since
-#: their last green driver row. Round 4 front-loads: the two r3
-#: failures (``asof_join_tolerance`` NTZ AnalysisException,
-#: ``pack_training_sequences`` oracle int128 hash), the five
-#: event-time queries whose only green row predates the timestamp[us]
-#: testdata vintage (they consumed raw ``unix_micros(ts)`` -- loader +
-#: call sites fixed this round), ``monthly_summary`` (the flagship,
-#: missed at position 50 in r3 by one), and every other consumer of
-#: the events loader path touched by the declared-schema read. Queries
-#: NOT in this list keep their prior relative order after the head and
-#: ride on their r2/r3 green rows.
+#: FALLBACK registration-order head (round-4 vintage), used only when
+#: ``plans/_rotation_manifest.json`` is absent. Since round 5 the
+#: window order is computed automatically by ``plans/rotation.py``:
+#: stale-evidence queries (code changed since their last green driver
+#: row) first, then oldest-green-first -- see that module's docstring.
 _PRIORITY_HEAD: list[str] = [
     # broken in r3 -- fixed this round, need fresh green rows
     "asof_join_tolerance",
@@ -550,7 +542,20 @@ def _register_extensions() -> None:
     except ImportError:
         pass
 
-    ordered = {n: QUERIES[n] for n in _PRIORITY_HEAD if n in QUERIES}
+    # Staleness-aware automatic rotation (round 5+): stale-evidence
+    # queries (code changed since last green driver row, or never
+    # green) first, then oldest-green-first, so every query re-verifies
+    # at worst every ceil(N/50) rounds. Falls back to the hand-curated
+    # _PRIORITY_HEAD order when no manifest exists. See
+    # plans/rotation.py and tools/update_rotation_manifest.py.
+    from .rotation import ordered_names
+
+    try:
+        auto = ordered_names(QUERIES)
+    except Exception:
+        auto = None
+    head = auto if auto is not None else _PRIORITY_HEAD
+    ordered = {n: QUERIES[n] for n in head if n in QUERIES}
     for name, entry in QUERIES.items():
         if name not in ordered:
             ordered[name] = entry

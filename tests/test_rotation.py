@@ -1,0 +1,121 @@
+"""Staleness-aware window rotation: the fingerprint must flip exactly
+when code a query depends on changes (its own body, an intra-module
+helper or SQL constant, or a transitively imported package module) and
+stay put when an unrelated function in the same module changes."""
+
+from __future__ import annotations
+
+from etl_sales_pandas_sqlserver_spark.plans.rotation import (
+    PACKAGE,
+    Fingerprinter,
+)
+
+_MOD = f"{PACKAGE}.plans.fakemod"
+_DEP = f"{PACKAGE}.operators.fakedep"
+
+_DEP_SRC = "def helper(x):\n    return x + 1\n"
+
+_MOD_SRC = f"""\
+from ..operators.fakedep import helper
+
+A_SQL = "SELECT 1 AS a"
+
+def _shared(x):
+    return helper(x)
+
+def q_alpha(spark, sf):
+    return _shared(1)
+
+def q_beta(spark, sf):
+    return 2
+"""
+
+
+def _reader(files):
+    return lambda path: files.get(path)
+
+
+def _files(mod_src=_MOD_SRC, dep_src=_DEP_SRC):
+    return {
+        f"{PACKAGE}/plans/fakemod.py": mod_src,
+        f"{PACKAGE}/operators/fakedep.py": dep_src,
+    }
+
+
+def _fp(files, fn="q_alpha"):
+    return Fingerprinter(_reader(files)).query_fingerprint(_MOD, fn)
+
+
+def test_fingerprint_is_deterministic():
+    assert _fp(_files()) == _fp(_files())
+    assert _fp(_files()) is not None
+
+
+def test_own_body_change_flips_fingerprint():
+    changed = _MOD_SRC.replace("return _shared(1)", "return _shared(2)")
+    assert _fp(_files()) != _fp(_files(mod_src=changed))
+
+
+def test_unrelated_function_change_does_not_flip():
+    # q_beta's body is outside q_alpha's reachability closure
+    changed = _MOD_SRC.replace("return 2", "return 3")
+    assert _fp(_files()) == _fp(_files(mod_src=changed))
+
+
+def test_intra_module_helper_change_flips():
+    changed = _MOD_SRC.replace("return helper(x)", "return helper(x) + 0")
+    assert _fp(_files()) != _fp(_files(mod_src=changed))
+
+
+def test_sql_constant_change_flips():
+    # conservative by design: any module-level string constant counts
+    changed = _MOD_SRC.replace("SELECT 1 AS a", "SELECT 2 AS a")
+    assert _fp(_files()) != _fp(_files(mod_src=changed))
+
+
+def test_dep_module_change_flips():
+    changed_dep = _DEP_SRC.replace("x + 1", "x + 2")
+    assert _fp(_files()) != _fp(_files(dep_src=changed_dep))
+
+
+def test_dep_not_referenced_by_query_is_ignored():
+    # q_beta never touches helper/fakedep: dep edits must not flip it
+    changed_dep = _DEP_SRC.replace("x + 1", "x + 2")
+    assert _fp(_files(), "q_beta") == _fp(_files(dep_src=changed_dep), "q_beta")
+
+
+def test_missing_module_or_function_is_stale():
+    assert Fingerprinter(_reader({})).query_fingerprint(_MOD, "q_alpha") is None
+    assert _fp(_files(), "q_gone") is None
+
+
+def test_registry_window_has_no_fresh_before_stale(monkeypatch):
+    """End-to-end on the real registry + manifest: the first-50 window
+    must never hold a fresh-evidence query while a stale one waits
+    outside (the round-4 tpch_more failure mode)."""
+    from etl_sales_pandas_sqlserver_spark.plans.rotation import (
+        load_manifest,
+        worktree_reader,
+    )
+    from etl_sales_pandas_sqlserver_spark.plans.testdata_queries import QUERIES
+
+    manifest = load_manifest()
+    if not manifest:
+        import pytest
+
+        pytest.skip("no rotation manifest in this tree")
+    fper = Fingerprinter(worktree_reader)
+    names = list(QUERIES)
+
+    def is_fresh(name):
+        fn = QUERIES[name][0]
+        e = manifest.get(name)
+        fp = fper.query_fingerprint(fn.__module__, fn.__qualname__)
+        return bool(e and fp and e.get("fingerprint") == fp)
+
+    stale_outside = [n for n in names[50:] if not is_fresh(n)]
+    fresh_inside = [n for n in names[:50] if is_fresh(n)]
+    assert not (stale_outside and fresh_inside), (
+        f"fresh inside window {fresh_inside[:5]} while stale outside "
+        f"{stale_outside[:5]}"
+    )
