@@ -122,7 +122,9 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     """Join candidate (a_id, b_id) pairs back to the shingle sets and
     keep only pairs with exact Jaccard >= threshold. Only candidates are
-    verified -- at scale this joins |candidates| rows, not all pairs."""
+    verified -- at scale this joins |candidates| rows, not all pairs.
+    Extra columns on ``cand`` (e.g. a prefilter's hamming distance) ride
+    through, so callers need not re-join them afterwards."""
     sa = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
     common = F.size(F.array_intersect("sa", "sb"))
@@ -130,7 +132,7 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
     return (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
-        .select("a_id", "b_id", jaccard.alias("jaccard"))
+        .select(*cand.columns, jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
 
@@ -485,10 +487,12 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"c{j}") * 2 > F.col("nfeat"), F.lit(1 << j)
         ).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    # one row per doc; cached because both sides of the band self-join
-    # (and the hamming recompute) reuse it -- without this the whole
-    # shingle->hash->bit-majority pipeline runs 3x
-    sig = bitsum.select("doc_id", simhash.cast("long").alias("simhash")).cache()
+    # one row per doc; NOT cached -- the band self-join's two branches
+    # are byte-identical subplans, so Spark materializes the shuffle
+    # once and reads it twice (ReusedExchange; pinned by
+    # tests/test_plan_shapes.py). Explicit caching here cost ~2s per
+    # bench run in re-materialization without saving any work.
+    sig = bitsum.select("doc_id", simhash.cast("long").alias("simhash"))
 
     bits_per_band = _SIMHASH_BITS // _SIMHASH_BANDS
     mask = (1 << bits_per_band) - 1
@@ -519,18 +523,19 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", hamming.alias("hamming"))
         .filter(F.col("hamming") <= _SIMHASH_HAMMING)
         .distinct()
-        .cache()  # reused by the verify join below and the final join
     )
-    # hamming <= 8 on correlated docs admits ~300k candidates at sf0.1;
-    # verifying string-array intersections there costs ~7s. Hash each
-    # shingle to 64 bits first: intersect counts are identical (distinct
-    # inputs, collision odds ~1e-11) and the intersect runs on longs.
+    # the hamming XOR-popcount prefilter above keeps the candidate set
+    # small before the exact verify; verifying string-array
+    # intersections is still costly, so hash each shingle to 64 bits
+    # first: intersect counts are identical (distinct inputs, collision
+    # odds ~1e-11) and the intersect runs on longs. hamming rides
+    # through the verify join, so cand is consumed exactly once -- no
+    # cache, no re-join.
     sh = _doc_shingles(spark, sf_dir).withColumn(
         "s", F.transform("s", lambda x: F.xxhash64(x))
     )
-    verified = _verify_jaccard(cand.select("a_id", "b_id"), sh)
     return (
-        verified.join(cand, ["a_id", "b_id"])
+        _verify_jaccard(cand, sh)
         .select("a_id", "b_id", "hamming", "jaccard")
         .orderBy("a_id", "b_id")
     )
@@ -687,75 +692,115 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical form: (s, d) with s < d,
+    self-loops dropped, distinct."""
+    return (
+        e.select(F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node connects its strictly-LARGER neighbors to
+    the minimum of its closed neighborhood. Processing each undirected
+    edge from its smaller endpoint emits it exactly once."""
+    adj = edges.unionByName(
+        edges.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    )
+    mins = adj.groupBy("s").agg(F.min("d").alias("mn"))
+    m = F.least(F.col("mn"), F.col("s"))
+    big = adj.filter(F.col("d") > F.col("s")).join(mins, "s")
+    return _canon_edges(big.select(F.col("d").alias("s"), m.alias("d")))
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: every node connects its smaller neighbors (and
+    itself) to the minimum of those. Processing each edge from its
+    LARGER endpoint emits it exactly once."""
+    adj = edges.select(F.greatest("s", "d").alias("s"), F.least("s", "d").alias("d"))
+    mins = adj.groupBy("s").agg(F.min("d").alias("mn"))  # mn < s by canon
+    rewired = adj.join(mins, "s").select(
+        F.col("d").alias("s"), F.col("mn").alias("d")
+    )
+    center = mins.select("s", F.col("mn").alias("d"))
+    return _canon_edges(rewired.unionByName(center))
+
+
 def cluster_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     """(a_id, b_id) duplicate pairs -> (doc_id, cluster_id) where
     cluster_id = min doc_id of the connected component. Only docs that
-    appear in some pair are emitted (singletons need no resolution)."""
-    edges = (
-        pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d"))
-        .unionByName(
-            pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d"))
-        )
-        # materialize ONCE -- without this every propagation round
-        # re-executes the full upstream pair-detection pipeline
-        .localCheckpoint(eager=True)
-    )
-    # the propagation loop shuffles only (edge, label) rows -- usually
-    # orders of magnitude smaller than the corpus. Size its partition
-    # count to the EDGE data (one partition per ~50k edges), not to the
-    # session default: a near-dup graph with hundreds of edges must not
-    # pay 32 tasks x 3 jobs x rounds of scheduling overhead, while a
-    # billion-edge graph still fans out
+    appear in some pair are emitted (singletons need no resolution).
+
+    Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): each round rewires
+    the edge set toward per-component stars centered at the component
+    minimum, converging in O(log n) rounds REGARDLESS of graph
+    diameter -- a 10k-node path converges in ~6 rounds where plain
+    min-label propagation needs 10k (the round-4 scale caveat this
+    replaces). Near-clique dup graphs converge in 2-3 rounds, so the
+    common case pays nothing for the worst-case guarantee."""
     spark = pairs.sparkSession
+    # materialize the pair list ONCE -- both the node universe and the
+    # edge set derive from it, and without this every round (and the
+    # node scan) re-executes the full upstream pair-detection pipeline
+    idpairs = pairs.select("a_id", "b_id").localCheckpoint(eager=True)
+    nodes = (
+        idpairs.select(F.col("a_id").alias("node"))
+        .unionByName(idpairs.select(F.col("b_id").alias("node")))
+        .distinct()
+    )
+    edges = _canon_edges(
+        idpairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("d"))
+    ).localCheckpoint(eager=True)
+    # the contraction loop shuffles only edges -- usually orders of
+    # magnitude smaller than the corpus. Size its partition count to
+    # the EDGE data (one partition per ~50k edges), not the session
+    # default: a near-dup graph with hundreds of edges must not pay
+    # 32 tasks x ~4 jobs x rounds of scheduling overhead, while a
+    # billion-edge graph still fans out
     n_edges = edges.count()
     nparts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
                         n_edges // 50_000 + 1))
-    converged = False
+    converged = n_edges == 0
     with shuffle_partitions(spark, nparts):
-        labels = (
-            edges.select(F.col("s").alias("node"))
-            .distinct()
-            .withColumn("lbl", F.col("node"))
-        )
+        prev = None  # (count, checksum) of the canonical edge set
         for _ in range(max_rounds):
-            nbr_min = (
-                edges.join(
-                    labels.select(
-                        F.col("node").alias("d"), F.col("lbl").alias("dl")
-                    ),
-                    "d",
-                )
-                .groupBy("s")
-                .agg(F.min("dl").alias("nm"))
-                .withColumnRenamed("s", "node")
-            )
-            stepped = (
-                labels.join(nbr_min, "node", "left")
-                .select(
-                    "node",
-                    "lbl",
-                    F.least("lbl", F.coalesce("nm", "lbl")).alias("new_lbl"),
-                )
-                .localCheckpoint(eager=True)  # one materialization per round
-            )
-            changed = stepped.filter(F.col("new_lbl") < F.col("lbl")).count()
-            labels = stepped.select("node", F.col("new_lbl").alias("lbl"))
-            if changed == 0:
-                converged = True
+            if converged:
                 break
+            edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+            # order-independent, overflow-free set checksum (ANSI-safe:
+            # a SUM of hashes overflows long under the driver's default
+            # session); edges are distinct so XOR cancellation needs a
+            # 64-bit collision to false-converge
+            cnt, chk = edges.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64("s", "d"))
+            ).collect()[0]
+            if (cnt, chk) == prev:
+                converged = True
+            prev = (cnt, chk)
     if not converged:
-        # partial labels are WRONG (a component would be reported as
+        # partial star sets are WRONG (a component would be reported as
         # several clusters) -- fail loudly rather than return them.
-        # Rounds needed = graph diameter; near-dup components are
-        # near-cliques, so hitting this means the input is not a
-        # verified-pair graph (or needs the alternating-star transform).
+        # O(log n) convergence makes max_rounds=20 cover any feasible
+        # graph; hitting this means the input is malformed.
         raise RuntimeError(
             f"cluster_components did not converge in {max_rounds} rounds "
-            f"({n_edges} edges); raise max_rounds or pre-contract the "
-            "graph (large-star/small-star) for high-diameter inputs"
+            f"({n_edges} edges); raise max_rounds"
         )
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    # converged edge set = per-component stars in canonical form:
+    # s = component minimum (center), d = leaf. Centers label
+    # themselves; every node appearing in a pair gets a row.
+    leaf_labels = edges.select(
+        F.col("d").alias("node"), F.col("s").alias("lbl")
+    )
+    return (
+        nodes.join(leaf_labels, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("lbl", "node").alias("cluster_id"),
+        )
     )
 
 

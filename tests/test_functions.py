@@ -254,3 +254,51 @@ def test_cluster_components_chain_and_clique(spark):
         for r in cluster_components(pairs).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_cluster_components_high_diameter_path(spark):
+    # the worst case for min-label propagation: a 10k-node path has
+    # diameter 10k. Alternating large-star/small-star must converge
+    # within the default round budget (O(log n)) and label every node
+    # with the component minimum
+    n = 10_000
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["a_id", "b_id"]
+    )
+    rows = cluster_components(path).collect()
+    assert len(rows) == n
+    assert all(r["cluster_id"] == 1 for r in rows)
+
+
+def test_cluster_components_random_graphs_match_union_find(spark):
+    # property check vs a driver-side union-find on deterministic
+    # pseudo-random graphs (fixed seeds -> reproducible)
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        n, m = 400, 500
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        expected = {(x, find(x)) for x in touched}
+        pairs = spark.createDataFrame(edges, ["a_id", "b_id"])
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in cluster_components(pairs).collect()
+        }
+        assert got == expected, f"seed {seed}"

@@ -358,12 +358,14 @@ def test_cluster_components_raises_on_nonconvergence(spark):
         cluster_components,
     )
 
-    # a 12-node path needs 11 propagation rounds; 3 must fail loudly
+    # alternating-star halves a path's diameter per round, so a long
+    # path given ONE round cannot finish; partial stars must raise,
+    # never be returned as labels
     path = spark.createDataFrame(
-        [(i, i + 1) for i in range(1, 12)], ["a_id", "b_id"]
+        [(i, i + 1) for i in range(1, 300)], ["a_id", "b_id"]
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        cluster_components(path, max_rounds=3).collect()
+        cluster_components(path, max_rounds=1).collect()
 
 
 def test_epoch_us_identical_for_ntz_and_ltz(spark):

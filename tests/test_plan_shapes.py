@@ -70,3 +70,14 @@ def test_percentile_contract_broadcasts_sketch(spark, sf_small):
     # back to facts -- must broadcast, not shuffle the fact table
     fn, _ = QUERIES["percentiles_approx_contract"]
     assert "BroadcastHashJoin" in _physical(fn(spark, sf_small))
+
+
+def test_simhash_self_join_reuses_sig_exchange(spark, sf_small):
+    # the band self-join's two branches are identical subplans; the
+    # signature aggregate's shuffle must materialize ONCE and be read
+    # twice (ReusedExchange) -- q_simhash_pairs dropped its explicit
+    # .cache() on the strength of this property
+    fn, _ = QUERIES["dedup_simhash"]
+    df = fn(spark, sf_small)
+    df.collect()  # AQE: reuse is only visible in the final plan
+    assert "ReusedExchange" in _physical(df)
