@@ -63,7 +63,10 @@ _N_PLANES = 5  # 32 LSH buckets
 _PROBE_RADIUS = 2  # probe buckets within this hamming distance
 _DIM = 64
 _IVF_K = 16  # k-means lists
-_IVF_NPROBE = 4  # lists searched per query
+_IVF_NPROBE = 6  # lists searched per query (6/16: recall ~0.7 on the
+# near-uniform synthetic corpus while still skipping 5/8 of the data;
+# raised from 4 in round 5 to give the tightened 0.45 recall floor a
+# real margin)
 _IVF_TRAIN_SAMPLE = 16384  # quantizer training sample cap (driver-side)
 
 _DOT_DUCK = (
@@ -529,13 +532,15 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # but their RECALL floor can be — compute recall@k of every variant
 # against the exact baseline inside Spark and emit one boolean per
 # variant; the oracle is three literal TRUE rows, and the driver's
-# value-hash proves the floors held. Floors are the measured minima
-# across sf0.001/0.01/0.1 minus a wide margin (lsh 0.625-0.825 → 0.45;
-# ivf 0.50-0.575 → 0.35) — near-uniform synthetic vectors are ANN's
-# worst case, see the module docstring.
+# value-hash proves the floors held. Floors sit under the measured
+# minima across sf0.001/0.01/0.1 (lsh 0.625-0.825; ivf ~0.7 at
+# nprobe=6) with enough margin not to flake — near-uniform synthetic
+# vectors are ANN's worst case, see the module docstring. Tightened in
+# round 5 (lsh 0.45→0.55, ivf 0.35→0.45) so the contract actually
+# binds.
 # ---------------------------------------------------------------------------
 
-_RECALL_FLOORS = {"ivf": 0.35, "lsh": 0.45, "lsh_indexed": 0.45}
+_RECALL_FLOORS = {"ivf": 0.45, "lsh": 0.55, "lsh_indexed": 0.55}
 
 ANN_RECALL_SQL = """
   SELECT 'ivf' AS variant, TRUE AS recall_floor_ok
@@ -546,7 +551,12 @@ ANN_RECALL_SQL = """
 
 
 def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = q_topk_exact(spark, sf_dir).select("query_id", "neighbor_id")
+    # cached: the exact pair set (n_queries * k rows — broadcast-size
+    # by definition) feeds both the hit join and the in-plan
+    # denominator; without the cache the exact full-corpus top-k scan
+    # runs twice, and an eager .count() here additionally ran it at
+    # DataFrame-CONSTRUCTION time on every invocation
+    exact = q_topk_exact(spark, sf_dir).select("query_id", "neighbor_id").cache()
     variants = [
         ("ivf", q_topk_ivf),
         ("lsh", q_topk_ann),
@@ -558,14 +568,13 @@ def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(name).alias("variant"), "query_id", "neighbor_id"
         )
         tagged = part if tagged is None else tagged.unionByName(part)
-    # the exact pair set is n_queries * k rows — broadcast-size by
-    # definition; recall = |approx ∩ exact| / |exact| per variant
-    n_exact = exact.count()
+    # recall = |approx ∩ exact| / |exact| per variant
     hits = (
         tagged.join(F.broadcast(exact), ["query_id", "neighbor_id"])
         .groupBy("variant")
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    n_exact_df = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     # left-join from a static variant list so a zero-hit (or
     # empty-corpus) variant still emits its row instead of vanishing
     # from the groupBy; an empty corpus has no recall to miss, so it
@@ -576,14 +585,17 @@ def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor = F.when(
         F.col("variant") == "ivf", F.lit(_RECALL_FLOORS["ivf"])
     ).otherwise(F.lit(_RECALL_FLOORS["lsh"]))
-    recall = F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(
-        float(max(n_exact, 1))
+    recall = F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.greatest(
+        F.col("n_exact"), F.lit(1)
     )
     return (
         base.join(hits, "variant", "left")
+        .crossJoin(F.broadcast(n_exact_df))  # single-row denominator
         .select(
             "variant",
-            ((recall >= floor) | F.lit(n_exact == 0)).alias("recall_floor_ok"),
+            ((recall >= floor) | (F.col("n_exact") == 0)).alias(
+                "recall_floor_ok"
+            ),
         )
         .orderBy("variant")
     )
