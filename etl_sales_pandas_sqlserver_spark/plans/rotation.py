@@ -271,7 +271,15 @@ def load_manifest() -> dict | None:
 
 
 def ordered_names(queries: dict) -> list[str] | None:
-    """Registry names sorted stale-first then oldest-evidence-first.
+    """Registry names sorted for the 50-query correctness window:
+
+    1. changed THIS round (worktree fingerprint differs from the one at
+       the latest verified commit, ``head_fingerprint``) -- algorithm
+       rewrites in flight are the highest-risk evidence gap;
+    2. stale (code changed since the query's LAST GREEN round) --
+       green rows that predate a code change;
+    3. fresh -- evidence still matches the code;
+    each tier oldest-green-first, then by name for determinism.
     None when no manifest exists (caller keeps static order)."""
     manifest = load_manifest()
     if not manifest:
@@ -279,14 +287,12 @@ def ordered_names(queries: dict) -> list[str] | None:
     fper = Fingerprinter(worktree_reader)
     keys = []
     for name, (fn, _sql) in queries.items():
-        entry = manifest.get(name)
+        entry = manifest.get(name) or {}
         fp = fper.query_fingerprint(fn.__module__, fn.__qualname__)
-        fresh = (
-            entry is not None
-            and fp is not None
-            and entry.get("fingerprint") == fp
-        )
-        last_green = (entry or {}).get("last_green_round") or 0
-        keys.append((fresh, last_green, name))
+        fresh = fp is not None and entry.get("fingerprint") == fp
+        head_fp = entry.get("head_fingerprint")
+        changed_now = fp is None or head_fp is None or head_fp != fp
+        last_green = entry.get("last_green_round") or 0
+        keys.append((not changed_now, fresh, last_green, name))
     keys.sort()
-    return [name for _fresh, _rnd, name in keys]
+    return [name for *_rest, name in keys]

@@ -434,6 +434,17 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
 }
 
 
+#: Manual window overrides, prepended BEFORE the automatic staleness
+#: ordering. Round 5: the four tpch_more queries whose code changed in
+#: round 4 (commit 2f51b73) after their last green rows -- guaranteed
+#: head placement per the round-4 verdict; clear once re-verified.
+_FORCE_HEAD: list[str] = [
+    "tpch_q4_priority_count",
+    "tpch_q5_local_supplier_revenue",
+    "tpch_q12_ship_latency",
+    "tpch_q14_promo_revenue",
+]
+
 #: FALLBACK registration-order head (round-4 vintage), used only when
 #: ``plans/_rotation_manifest.json`` is absent. Since round 5 the
 #: window order is computed automatically by ``plans/rotation.py``:
@@ -554,7 +565,7 @@ def _register_extensions() -> None:
         auto = ordered_names(QUERIES)
     except Exception:
         auto = None
-    head = auto if auto is not None else _PRIORITY_HEAD
+    head = (_FORCE_HEAD + auto) if auto is not None else _PRIORITY_HEAD
     ordered = {n: QUERIES[n] for n in head if n in QUERIES}
     for name, entry in QUERIES.items():
         if name not in ordered:

@@ -106,6 +106,7 @@ def main() -> int:
     commits = round_commits()
     greens = green_rounds()
     readers = {n: Fingerprinter(git_reader(c)) for n, c in commits.items()}
+    head_round = max(commits) if commits else None
     manifest: dict[str, dict] = {}
     missing_commit = sorted(set(greens.values()) - set(commits))
     if missing_commit:
@@ -119,6 +120,13 @@ def main() -> int:
             continue  # never green (or unverifiable round): stays stale
         fp = readers[rnd].query_fingerprint(fn.__module__, fn.__qualname__)
         manifest[name] = {"last_green_round": rnd, "fingerprint": fp}
+        if head_round is not None:
+            # fingerprint at the LATEST verified commit: lets the
+            # runtime distinguish "changed this round" (highest
+            # re-verify priority) from merely stale-since-last-green
+            manifest[name]["head_fingerprint"] = readers[
+                head_round
+            ].query_fingerprint(fn.__module__, fn.__qualname__)
     with open(MANIFEST_PATH, "w") as f:
         json.dump(dict(sorted(manifest.items())), f, indent=1, sort_keys=True)
         f.write("\n")
