@@ -116,21 +116,42 @@ def main() -> None:
     # First-run timings are preserved in the detail file under
     # "queries_cold".
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # queries whose min-of-n_runs still exceeds this get extra passes:
+    # two runs bound cheap queries fine, but under suite-wide
+    # contention the most expensive queries showed 3-4x suite-vs-
+    # isolated gaps (round-4 VERDICT: dedup_clusters 15.2s suite vs
+    # 3.6s isolated median), making round-over-round triage of exactly
+    # the queries that matter unreliable
+    heavy_sec = float(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_SEC", "2.0"))
+    heavy_extra = max(0, int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "2")))
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    runs_per_query: dict[str, int] = {}
+
+    def one_run(name: str, fn) -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = min(timings.get(name, dt), dt)
+        runs_per_query[name] = runs_per_query.get(name, 0) + 1
+        # queries that cache an internally-reused subtree (ANN recall
+        # contract) leak that cache past their run; drop it so later
+        # queries aren't taxed by earlier queries' storage
+        spark.catalog.clearCache()
+        return dt
+
     for name, (fn, _sql) in QUERIES.items():
         for i in range(n_runs):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
+            dt = one_run(name, fn)
             if i == 0:
                 cold[name] = dt
-            timings[name] = min(timings.get(name, dt), dt)
-            # queries that cache an internally-reused subtree (dedup
-            # LSH variants) leak that cache past their run; drop it so
-            # later queries aren't taxed by earlier queries' storage
-            spark.catalog.clearCache()
+    # extra passes for the heavies, AFTER the full sweep so their
+    # re-runs aren't correlated with the same neighboring load that
+    # inflated them the first time
+    for name, (fn, _sql) in QUERIES.items():
+        if timings[name] > heavy_sec:
+            for _ in range(heavy_extra):
+                one_run(name, fn)
 
     total = round(sum(timings.values()), 3)
     summary = {
@@ -140,10 +161,16 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf,
         "bench_runs_per_query": n_runs,
+        "heavy_threshold_sec": heavy_sec,
         "cold_total_sec": round(sum(cold.values()), 3),
         "ann_index_build_sec": ann_build_sec,
     }
-    full = {**summary, "queries": timings, "queries_cold": cold}
+    full = {
+        **summary,
+        "queries": timings,
+        "queries_cold": cold,
+        "runs_per_query": runs_per_query,
+    }
     # stdout tail capture truncates the per-query map with 97 queries
     # (round 3 lost positions 0-40), so persist the full object to a
     # file the judge can always read; keep stdout for the driver
