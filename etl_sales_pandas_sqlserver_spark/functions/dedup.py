@@ -67,6 +67,8 @@ _MINHASH_BANDS = 16
 _SIMHASH_BITS = 60  # 5 bands x 12 bits
 _SIMHASH_BANDS = 5
 _SIMHASH_HAMMING = 20
+_HASH_MOD = 2_147_483_647
+_HASH_SHIFT = 2_147_483_648  # 2^31
 
 # ---------------------------------------------------------------------------
 # Shared shingling (word 3-grams, distinct per doc)
@@ -265,6 +267,163 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 2c. Bloom-filter decontamination: the zero-shuffle serving path.
+#
+# The inverted-index join above shuffles (doc_id, shingle-hash) pairs
+# for BOTH corpora. When the eval/benchmark side is tiny and the train
+# corpus is 100 TB, the right shape is: compress the eval shingle set
+# into a FIXED-SIZE bloom bitmap (m bits regardless of eval size),
+# broadcast it, and stream the train corpus through it map-side only --
+# the sole shuffle left is the per-document re-aggregation, which is
+# map-side combined down to one row per document. Bits are byte-packed
+# into a <= m/8-row (byte_idx, byte_val) table, always auto-broadcast.
+#
+# The bloom is DETERMINISTIC AND PORTABLE -- md5-derived double hashing
+# (Kirsch-Mitzenmacher: pos_i = (h1 + i*h2) mod m), the same md5 slice
+# scheme the simhash family uses -- so DuckDB replays the identical
+# bitmap bit for bit and the driver hash-compares the full per-document
+# result (train_id, n_shingles, n_hits, flagged), a far stronger check
+# than error-bound booleans. A document is flagged when a MAJORITY of
+# its shingles hit the bloom: no false negatives at the near-dup
+# threshold (a jaccard>=0.9 pair shares >=90% of shingles), while
+# per-shingle false positives (~0.1% at these m/n/k) cannot reach the
+# majority gate.
+# ---------------------------------------------------------------------------
+
+def _hash_duck(start: int) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(range({start}, {start + 14}), i ->"
+        " CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT))),"
+        f" (acc, x) -> acc * 16 + x) % {_HASH_MOD}"
+    )
+
+
+_BLOOM_M = 1 << 19  # bitmap bits (64 KiB packed)
+_BLOOM_K = 3  # probes per shingle
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingles(spark, sf_dir)
+    # hash INSIDE the array, then explode the precomputed (h1, h2)
+    # structs: exploding the raw shingle pipeline drops the expensive
+    # transform+distinct out of whole-stage codegen (measured 7s vs
+    # <1s at sf0.1), while an in-array hash keeps the generator trivial
+    h_struct = (
+        "transform(s, x -> named_struct("
+        f"'h1', CAST(conv(substring(md5(x), 1, 14), 16, 10) AS BIGINT) % {_HASH_MOD}, "
+        f"'h2', CAST(conv(substring(md5(x), 15, 14), 16, 10) AS BIGINT) % {_HASH_MOD}))"
+    )
+    hashed = (
+        sh.select("doc_id", F.explode(F.expr(h_struct)).alias("p"))
+        .select("doc_id", F.col("p.h1").alias("h1"), F.col("p.h2").alias("h2"))
+    )
+
+    # eval side -> byte-packed bloom bitmap (tiny; shuffles are fine)
+    ev_pos = (
+        hashed.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        ((F.col("h1") + F.lit(i) * F.col("h2")) % _BLOOM_M).alias(
+                            f"p{i}"
+                        )
+                        for i in range(_BLOOM_K)
+                    ]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    bloom_bytes = (
+        ev_pos.groupBy((F.col("pos") / 8).cast("bigint").alias("bidx"))
+        .agg(F.bit_or(F.expr("shiftleft(1, cast(pos % 8 as int))")).alias("bval"))
+        # <= m/8 rows; cached so the K broadcast copies don't each
+        # rebuild the eval pipeline
+        .cache()
+    )
+
+    # train side: one map-side broadcast join per probe, no shingle
+    # ever shuffles; a shingle is a bloom member iff ALL K probes hit
+    train = hashed.filter(F.col("doc_id") % 10 != 0)
+    hit_all = None
+    for i in range(_BLOOM_K):
+        pos = (F.col("h1") + F.lit(i) * F.col("h2")) % _BLOOM_M
+        train = train.withColumn(f"bidx{i}", (pos / 8).cast("bigint")).withColumn(
+            f"bit{i}", (pos % 8).cast("int")
+        )
+        bb = F.broadcast(
+            bloom_bytes.select(
+                F.col("bidx").alias(f"bidx{i}"), F.col("bval").alias(f"bval{i}")
+            )
+        )
+        train = train.join(bb, f"bidx{i}", "left")
+        hit_i = F.expr(f"(coalesce(bval{i}, 0) >> bit{i}) & 1 = 1")
+        hit_all = hit_i if hit_all is None else (hit_all & hit_i)
+
+    per_doc = train.groupBy(F.col("doc_id").alias("train_id")).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(hit_all.cast("bigint")).alias("n_hits"),
+    )
+    return per_doc.select(
+        "train_id",
+        "n_shingles",
+        "n_hits",
+        (F.col("n_hits") * 2 >= F.col("n_shingles")).alias("flagged"),
+    ).orderBy("train_id")
+
+
+def _bloom_hash_duck(start: int) -> str:
+    # _hash_duck hashes the lambda/row variable `tok`
+    return _hash_duck(start)
+
+
+DECONTAMINATE_BLOOM_SQL = f"""
+  WITH {_SHINGLES_CTE},
+  ex AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+  hashed AS (
+    SELECT doc_id, tok,
+           {_bloom_hash_duck(1)} AS h1,
+           {_bloom_hash_duck(15)} AS h2
+    FROM ex
+  ),
+  ev_pos AS (
+    SELECT DISTINCT (h1 + i * h2) % {_BLOOM_M} AS pos
+    FROM hashed, unnest([{", ".join(str(i) for i in range(_BLOOM_K))}]) t(i)
+    WHERE doc_id % 10 = 0
+  ),
+  bloom_bytes AS (
+    SELECT pos // 8 AS bidx, bit_or(1 << (pos % 8)) AS bval
+    FROM ev_pos GROUP BY 1
+  ),
+  probes AS (
+    SELECT doc_id, tok, i, (h1 + i * h2) % {_BLOOM_M} AS pos
+    FROM hashed, unnest([{", ".join(str(i) for i in range(_BLOOM_K))}]) t(i)
+    WHERE doc_id % 10 <> 0
+  ),
+  shingle_hits AS (
+    SELECT p.doc_id, p.tok,
+           CASE WHEN b.bval IS NOT NULL
+                 AND (b.bval >> CAST(p.pos % 8 AS INTEGER)) & 1 = 1
+                THEN 1 ELSE 0 END AS hit
+    FROM probes p LEFT JOIN bloom_bytes b ON b.bidx = p.pos // 8
+  ),
+  per_shingle AS (
+    SELECT doc_id, tok, MIN(hit) AS hit_all
+    FROM shingle_hits GROUP BY doc_id, tok
+  )
+  SELECT doc_id AS train_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(hit_all) AS BIGINT) AS n_hits,
+         SUM(hit_all) * 2 >= COUNT(*) AS flagged
+  FROM per_shingle
+  GROUP BY doc_id
+  ORDER BY train_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # 3. MinHash + LSH banding, exact-verified.
 # ---------------------------------------------------------------------------
 
@@ -335,8 +494,6 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ``h1 * 2^31 + h2`` -- the widest portable hash both engines can
 #: evaluate without int64 overflow even under Spark ANSI mode
 #: (max intermediate: (p-1)*37 + 127 < 2^37; h1*2^31 + h2 < 2^62).
-_HASH_MOD = 2_147_483_647
-_HASH_SHIFT = 2_147_483_648  # 2^31
 
 #: Portable token hash: md5(token), then two DISJOINT 14-hex-digit
 #: (56-bit) slices reduced mod 2^31-1 -> two independent 31-bit hashes
@@ -350,15 +507,6 @@ _HASH_SHIFT = 2_147_483_648  # 2^31
 #: over a single md5 array); DuckDB has no hex-parse function so the
 #: oracle folds the 14 hex digits -- fine, the oracle only ever runs
 #: at sf0.01.
-def _hash_duck(start: int) -> str:
-    return (
-        "list_reduce(list_prepend(CAST(0 AS BIGINT),"
-        f" list_transform(range({start}, {start + 14}), i ->"
-        " CAST(strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1 AS BIGINT))),"
-        f" (acc, x) -> acc * 16 + x) % {_HASH_MOD}"
-    )
-
-
 #: combine three token hashes into one shingle feature hash; max
 #: intermediate = (p-1)*37 + (p-1) < 2^37, no int64 overflow. `{t0}`,
 #: `{t1}`, `{t2}` are the token-hash terms in engine-local indexing.
@@ -921,4 +1069,5 @@ QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "dedup_embedding_cosine": (q_embedding_cosine_pairs, EMBEDDING_COSINE_SQL),
     "dedup_clusters": (q_dedup_clusters, CLUSTER_COMPONENTS_SQL),
     "dedup_decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
+    "dedup_decontaminate_bloom": (q_decontaminate_bloom, DECONTAMINATE_BLOOM_SQL),
 }

@@ -81,3 +81,13 @@ def test_simhash_self_join_reuses_sig_exchange(spark, sf_small):
     df = fn(spark, sf_small)
     df.collect()  # AQE: reuse is only visible in the final plan
     assert "ReusedExchange" in _physical(df)
+
+
+def test_bloom_decontaminate_train_side_never_merge_joins(spark, sf_small):
+    # the train corpus must stream through broadcast probe joins only;
+    # a SortMergeJoin here means train shingles are shuffling -- the
+    # exact cost the bloom path exists to avoid at 100 TB
+    fn, _ = QUERIES["dedup_decontaminate_bloom"]
+    plan = _physical(fn(spark, sf_small))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
