@@ -443,7 +443,102 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus curation capstone: the stages a pre-training data pipeline
+# actually chains -- exact dedup -> quality gate -> benchmark
+# decontamination -> deterministic split -- composed as ONE lazy plan.
+# Each stage reuses the engine's primitive (fingerprint hash-agg,
+# token-count filter, the inverted-index decontaminate, the md5 split
+# bucket), so Catalyst fuses the filters into the scans and the only
+# shuffles are the dedup hash-agg, the decontaminate join, and the
+# final tiny rollup. Output is the per-(split, lang) corpus census --
+# compact, and hash-verifiable against DuckDB replaying the identical
+# five stages.
+# ---------------------------------------------------------------------------
+
+_MIN_TOKENS = 5
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import q_decontaminate
+    from .textstats import fingerprint_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    # train pool: eval docs (doc_id % 10 == 0) are the benchmark side
+    pool = docs.filter(F.col("doc_id") % 10 != 0)
+    # 1. exact dedup, keep-first (lowest doc_id per content hash)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        pool.withColumn("fingerprint", fingerprint_col())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    # 2. quality gate: drop fragments with too few tokens
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    kept = deduped.filter(n_tokens >= _MIN_TOKENS)
+    # 3. decontamination: drop anything near-duplicating an eval doc
+    contaminated = q_decontaminate(spark, sf_dir).select(
+        F.col("train_id").alias("doc_id")
+    ).distinct()
+    clean = kept.join(contaminated, "doc_id", "left_anti")
+    # 4. deterministic split + 5. census rollup
+    bucket = _hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        clean.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def _curation_sql() -> str:
+    from .dedup import DECONTAMINATE_SQL
+
+    return f"""
+  WITH pool AS (
+    SELECT doc_id, lang, n_chars, text,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents WHERE doc_id % 10 <> 0
+  ),
+  deduped AS (
+    SELECT * FROM pool
+    QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+  ),
+  kept AS (
+    SELECT * FROM deduped
+    WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= {_MIN_TOKENS}
+  ),
+  contaminated AS (
+    SELECT DISTINCT train_id AS doc_id FROM ({DECONTAMINATE_SQL}) c
+  ),
+  clean AS (
+    SELECT k.* FROM kept k LEFT JOIN contaminated c ON c.doc_id = k.doc_id
+    WHERE c.doc_id IS NULL
+  )
+  SELECT CASE
+           WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 80 THEN 'train'
+           WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90 THEN 'val'
+           ELSE 'test' END AS split,
+         lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM clean
+  GROUP BY 1, 2
+  ORDER BY split, lang
+"""
+
+
+CORPUS_CURATION_SQL = _curation_sql()
+
+
 TRAINDATA_QUERIES = {
+    "corpus_curation_pipeline": (q_corpus_curation, CORPUS_CURATION_SQL),
     "split_train_val_test": (q_split_train_val_test, SPLIT_SQL),
     "corpus_mix_weighted": (q_corpus_mix_weighted, CORPUS_MIX_SQL),
     "chunk_context_windows": (q_chunk_windows, CHUNK_WINDOWS_SQL),

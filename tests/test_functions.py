@@ -302,3 +302,47 @@ def test_cluster_components_random_graphs_match_union_find(spark):
             for r in cluster_components(pairs).collect()
         }
         assert got == expected, f"seed {seed}"
+
+
+def test_bloom_decontaminate_supersets_exact(spark, sf_small):
+    """Bloom membership has no false negatives: every train doc the
+    exact decontaminate flags (jaccard >= threshold vs some eval doc)
+    must be flagged by the bloom majority gate, and false positives on
+    clean docs must stay rare."""
+    from etl_sales_pandas_sqlserver_spark.functions.dedup import (
+        q_decontaminate,
+        q_decontaminate_bloom,
+    )
+
+    exact = {
+        r["train_id"] for r in q_decontaminate(spark, sf_small).collect()
+    }
+    rows = q_decontaminate_bloom(spark, sf_small).collect()
+    flagged = {r["train_id"] for r in rows if r["flagged"]}
+    missed = exact - flagged
+    assert not missed, f"bloom missed contaminated docs: {sorted(missed)[:5]}"
+    n_clean = len(rows) - len(exact)
+    false_pos = len(flagged - exact)
+    assert false_pos <= max(2, 0.01 * n_clean), (false_pos, n_clean)
+
+
+def test_corpus_curation_census_invariants(spark, sf_small):
+    """The curation capstone must never invent documents: census totals
+    are bounded by the train pool, contaminated docs are gone, and the
+    split labels partition the survivors."""
+    from etl_sales_pandas_sqlserver_spark.functions.dedup import q_decontaminate
+    from etl_sales_pandas_sqlserver_spark.functions.traindata import (
+        q_corpus_curation,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    pool_n = docs.filter(F.col("doc_id") % 10 != 0).count()
+    rows = q_corpus_curation(spark, sf_small).collect()
+    assert rows, "empty census"
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    survivors = sum(r["n_docs"] for r in rows)
+    n_contaminated = (
+        q_decontaminate(spark, sf_small).select("train_id").distinct().count()
+    )
+    assert survivors <= pool_n - n_contaminated
+    assert all(r["n_docs"] > 0 and r["total_chars"] > 0 for r in rows)
