@@ -176,11 +176,20 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cached: FOUR consumers (both self-join sides, both size joins);
+    # measured A/B at sf0.1 says recomputing the shingle pipeline for
+    # each beats the cache only when there are <= 2 consumers
     sh = _doc_shingles(spark, sf_dir).cache()
     sizes = sh.select("doc_id", F.size("s").alias("n"))
-    # inverted index: ship 64-bit hashes through the shuffle, not text
-    ex = sh.select("doc_id", F.explode("s").alias("shingle")).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
+    # inverted index: ship 64-bit hashes through the shuffle, not text.
+    # Hash INSIDE the array then explode the precomputed longs: a
+    # generator whose child is an uncached expensive array pipeline
+    # evaluates it interpreted (7.1s at sf0.1 vs 0.5s for this
+    # spelling) -- with the cache this costs nothing and protects the
+    # plan if the cache is ever dropped
+    ex = sh.select(
+        "doc_id",
+        F.explode(F.expr("transform(s, x -> xxhash64(x))")).alias("h"),
     )
     a = ex.select(F.col("doc_id").alias("a_id"), "h")
     b = ex.select(F.col("doc_id").alias("b_id"), "h")
@@ -236,10 +245,12 @@ DECONTAMINATE_SQL = f"""
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingles(spark, sf_dir).cache()
+    sh = _doc_shingles(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("s").alias("n"))
-    ex = sh.select("doc_id", F.explode("s").alias("shingle")).select(
-        "doc_id", F.xxhash64("shingle").alias("h")
+    # in-array hash before explode (see q_ngram_jaccard_pairs)
+    ex = sh.select(
+        "doc_id",
+        F.explode(F.expr("transform(s, x -> xxhash64(x))")).alias("h"),
     )
     train = ex.filter(F.col("doc_id") % 10 != 0).select(
         F.col("doc_id").alias("train_id"), "h"
@@ -429,34 +440,42 @@ DECONTAMINATE_BLOOM_SQL = f"""
 
 
 def _minhash_signature(ex: DataFrame) -> DataFrame:
-    """(doc_id, shingle) -> one row per doc with columns h0..h{K-1};
-    one agg shuffle.
+    """(doc_id, h1, h2) base-hash pairs -> one row per doc with columns
+    h0..h{K-1}; one agg shuffle.
 
     The K hash functions use double hashing (Kirsch-Mitzenmacher):
     ``g_i = (h1 + i*h2) mod p`` from TWO base xxhash64 evaluations per
-    shingle -- hashing the string K times costs K string traversals per
-    row and a giant codegen unit (measured: the 64x xxhash64 spelling
-    pushed the first-run compile+execute to ~14s at sf0.1; this form
-    runs ~2s warm). mod 2^31-1 keeps every intermediate ANSI-safe
-    (h1 + 63*h2 < 2^37) and the min-wise property holds per standard
-    double-hashing practice; recall vs the exact answer is unchanged
-    (verified: 25/25 at sf0.01, 249/249 at sf0.1)."""
+    shingle (computed in-array by the caller) -- hashing the string K
+    times costs K string traversals per row and a giant codegen unit
+    (measured: the 64x xxhash64 spelling pushed the first-run
+    compile+execute to ~14s at sf0.1; this form runs ~2s warm).
+    mod 2^31-1 keeps every intermediate ANSI-safe (h1 + 63*h2 < 2^37)
+    and the min-wise property holds per standard double-hashing
+    practice; recall vs the exact answer is unchanged (verified: 25/25
+    at sf0.01, 249/249 at sf0.1)."""
     p = F.lit(_HASH_MOD)
-    base = ex.select(
-        "doc_id",
-        F.pmod(F.xxhash64("shingle"), p).alias("h1"),
-        F.pmod(F.xxhash64(F.lit(1), "shingle"), p).alias("h2"),
-    )
     mins = [
         F.min(F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), p)).alias(f"h{i}")
         for i in range(_MINHASH_K)
     ]
-    return base.groupBy("doc_id").agg(*mins)
+    return ex.groupBy("doc_id").agg(*mins)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cached: consumed by the signature pipeline AND the verify join
     sh = _doc_shingles(spark, sf_dir).cache()
-    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
+    # both base hashes computed in-array, exploded as precomputed
+    # structs (see q_ngram_jaccard_pairs)
+    ex = sh.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(s, x -> named_struct("
+                f"'h1', pmod(xxhash64(x), {_HASH_MOD}), "
+                f"'h2', pmod(xxhash64(1, x), {_HASH_MOD})))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.h1").alias("h1"), F.col("p.h2").alias("h2"))
     sig = _minhash_signature(ex)
     rows_per_band = _MINHASH_K // _MINHASH_BANDS
     bands = F.array(

@@ -537,7 +537,48 @@ def _curation_sql() -> str:
 CORPUS_CURATION_SQL = _curation_sql()
 
 
+# ---------------------------------------------------------------------------
+# Per-source quota capping: web-scale corpora are dominated by a few
+# giant domains; training mixes cap documents per source (C4-style
+# domain balancing). Deterministic and unbiased: rank within source by
+# the md5 of the doc id (content-uncorrelated, identical hex ordering
+# on both engines), keep the first _SOURCE_CAP. Emitting only
+# survivors lets Spark plan the rank filter as WindowGroupLimit -- the
+# per-partition top-k is taken BEFORE the shuffle, so only ~cap rows
+# per source per task move, not the whole corpus.
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP = 10
+
+SOURCE_QUOTA_SQL = f"""
+  SELECT doc_id, source
+  FROM (
+    SELECT doc_id, source,
+           row_number() OVER (
+             PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+  )
+  WHERE rk <= {_SOURCE_CAP}
+  ORDER BY doc_id
+"""
+
+
+def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SOURCE_CAP)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 TRAINDATA_QUERIES = {
+    "source_quota_cap": (q_source_quota, SOURCE_QUOTA_SQL),
     "corpus_curation_pipeline": (q_corpus_curation, CORPUS_CURATION_SQL),
     "split_train_val_test": (q_split_train_val_test, SPLIT_SQL),
     "corpus_mix_weighted": (q_corpus_mix_weighted, CORPUS_MIX_SQL),

@@ -346,3 +346,18 @@ def test_corpus_curation_census_invariants(spark, sf_small):
     )
     assert survivors <= pool_n - n_contaminated
     assert all(r["n_docs"] > 0 and r["total_chars"] > 0 for r in rows)
+
+
+def test_source_quota_cap_and_determinism(spark, sf_small):
+    from etl_sales_pandas_sqlserver_spark.functions.traindata import (
+        _SOURCE_CAP,
+        q_source_quota,
+    )
+
+    rows = q_source_quota(spark, sf_small).collect()
+    per_src: dict[str, int] = {}
+    for r in rows:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    assert per_src and all(n <= _SOURCE_CAP for n in per_src.values())
+    again = {(r["doc_id"], r["source"]) for r in q_source_quota(spark, sf_small).collect()}
+    assert {(r["doc_id"], r["source"]) for r in rows} == again

@@ -91,3 +91,11 @@ def test_bloom_decontaminate_train_side_never_merge_joins(spark, sf_small):
     plan = _physical(fn(spark, sf_small))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_source_quota_uses_window_group_limit(spark, sf_small):
+    # the per-source cap must plan as WindowGroupLimit (per-partition
+    # top-k before the shuffle); ranking every row then filtering
+    # would shuffle the whole corpus to cap it
+    fn, _ = QUERIES["source_quota_cap"]
+    assert "WindowGroupLimit" in _optimized(fn(spark, sf_small))
