@@ -119,3 +119,32 @@ def test_registry_window_has_no_fresh_before_stale(monkeypatch):
         f"fresh inside window {fresh_inside[:5]} while stale outside "
         f"{stale_outside[:5]}"
     )
+
+
+def test_manifest_tool_state_is_consistent():
+    """The committed manifest must be regenerable state: every entry
+    carries a last-green round no newer than the newest CORRECTNESS
+    file, a fingerprint, and a head fingerprint for the
+    changed-this-round tier."""
+    import glob
+    import os
+    import re
+
+    from etl_sales_pandas_sqlserver_spark.plans.rotation import load_manifest
+
+    manifest = load_manifest()
+    if not manifest:
+        import pytest
+
+        pytest.skip("no rotation manifest in this tree")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = [
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    ]
+    assert rounds, "no correctness files but a manifest exists"
+    newest = max(rounds)
+    for name, entry in manifest.items():
+        assert 1 <= entry["last_green_round"] <= newest, name
+        assert entry.get("fingerprint"), name
+        assert "head_fingerprint" in entry, name
