@@ -361,3 +361,45 @@ def test_source_quota_cap_and_determinism(spark, sf_small):
     assert per_src and all(n <= _SOURCE_CAP for n in per_src.values())
     again = {(r["doc_id"], r["source"]) for r in q_source_quota(spark, sf_small).collect()}
     assert {(r["doc_id"], r["source"]) for r in rows} == again
+
+
+def test_portable_md5_slice_hash_matches_duckdb(spark):
+    """The md5-slice 31-bit hash pair underpins simhash and the bloom
+    decontaminator: both engines must produce identical values beyond
+    the fixed testdata -- exercise unicode, quotes, whitespace and
+    empty-ish tokens."""
+    import duckdb
+    import pandas as pd
+
+    from etl_sales_pandas_sqlserver_spark.functions.dedup import (
+        _HASH_MOD,
+        _hash_duck,
+    )
+    from pyspark.sql import functions as F
+
+    toks = [
+        "plain", "", " ", "tab\there", 'quote"inside', "apos'trophe",
+        "back\\slash", "ünïcodé", "汉字 token", "🙂 emoji", "a b c",
+        "0123456789abcdef" * 5,
+    ]
+    pdf = pd.DataFrame({"tok": toks})
+    sdf = spark.createDataFrame(pdf)
+    got_spark = [
+        (r.h1, r.h2)
+        for r in sdf.select(
+            F.expr(
+                "CAST(conv(substring(md5(tok), 1, 14), 16, 10) AS BIGINT)"
+                f" % {_HASH_MOD}"
+            ).alias("h1"),
+            F.expr(
+                "CAST(conv(substring(md5(tok), 15, 14), 16, 10) AS BIGINT)"
+                f" % {_HASH_MOD}"
+            ).alias("h2"),
+        ).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = con.execute(
+        f"SELECT {_hash_duck(1)} AS h1, {_hash_duck(15)} AS h2 FROM t"
+    ).fetchall()
+    assert got_spark == [tuple(r) for r in got_duck]

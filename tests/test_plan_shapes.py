@@ -99,3 +99,11 @@ def test_source_quota_uses_window_group_limit(spark, sf_small):
     # would shuffle the whole corpus to cap it
     fn, _ = QUERIES["source_quota_cap"]
     assert "WindowGroupLimit" in _optimized(fn(spark, sf_small))
+
+
+def test_curation_dedup_uses_window_group_limit(spark, sf_small):
+    # the keep-first dedup stage must shuffle only per-partition
+    # winners (WindowGroupLimit), not sort the whole corpus by
+    # fingerprint
+    fn, _ = QUERIES["corpus_curation_pipeline"]
+    assert "WindowGroupLimit" in _optimized(fn(spark, sf_small))

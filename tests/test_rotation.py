@@ -148,3 +148,4 @@ def test_manifest_tool_state_is_consistent():
         assert 1 <= entry["last_green_round"] <= newest, name
         assert entry.get("fingerprint"), name
         assert "head_fingerprint" in entry, name
+
