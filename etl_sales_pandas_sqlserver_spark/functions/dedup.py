@@ -931,21 +931,58 @@ def cluster_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     nparts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
                         n_edges // 50_000 + 1))
     converged = n_edges == 0
+    star_violations = 0
     with shuffle_partitions(spark, nparts):
         prev = None  # (count, checksum) of the canonical edge set
         for _ in range(max_rounds):
             if converged:
                 break
             edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-            # order-independent, overflow-free set checksum (ANSI-safe:
-            # a SUM of hashes overflows long under the driver's default
-            # session); edges are distinct so XOR cancellation needs a
-            # 64-bit collision to false-converge
-            cnt, chk = edges.agg(
-                F.count(F.lit(1)), F.bit_xor(F.xxhash64("s", "d"))
+            # ONE two-level aggregation per round delivers all three
+            # convergence/validity signals:
+            # - edge count and an order-independent overflow-free set
+            #   checksum (ANSI-safe bit_xor: a SUM of hashes overflows
+            #   long under the driver's default session; edges are
+            #   distinct so XOR cancellation needs a 64-bit collision
+            #   to false-converge) -- stability of (count, checksum)
+            #   over a full round is the convergence test;
+            # - a star-forest violation count (a leaf with >1 center,
+            #   or a node that is both center and leaf). The theory
+            #   says every fixed point of small-star∘large-star is a
+            #   star forest, but labels derived from a NON-star state
+            #   would be silently wrong, so the invariant is checked,
+            #   not assumed.
+            probe = edges.select(
+                F.col("d").alias("node"),
+                F.col("s").alias("peer"),
+                F.lit(0).alias("role"),
+            ).unionByName(
+                edges.select(
+                    F.col("s").alias("node"),
+                    F.col("d").alias("peer"),
+                    F.lit(1).alias("role"),
+                )
+            )
+            leaf = F.col("role") == 0
+            per_node = probe.groupBy("node").agg(
+                F.count_distinct(F.when(leaf, F.col("peer"))).alias("k"),
+                F.max("role").alias("is_center"),
+                F.sum(F.when(leaf, 1).otherwise(0)).alias("n_leaf_rows"),
+                F.bit_xor(
+                    F.when(leaf, F.xxhash64("peer", "node"))
+                ).alias("chk_part"),
+            )
+            bad_node = (F.col("k") > 1) | (
+                (F.col("k") >= 1) & (F.col("is_center") == 1)
+            )
+            cnt, chk, viol = per_node.agg(
+                F.sum("n_leaf_rows"),
+                F.bit_xor("chk_part"),
+                F.sum(bad_node.cast("int")),
             ).collect()[0]
             if (cnt, chk) == prev:
                 converged = True
+                star_violations = int(viol or 0)
             prev = (cnt, chk)
     if not converged:
         # partial star sets are WRONG (a component would be reported as
@@ -956,9 +993,13 @@ def cluster_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             f"cluster_components did not converge in {max_rounds} rounds "
             f"({n_edges} edges); raise max_rounds"
         )
-    # converged edge set = per-component stars in canonical form:
-    # s = component minimum (center), d = leaf. Centers label
-    # themselves; every node appearing in a pair gets a row.
+    if star_violations:
+        raise RuntimeError(
+            "cluster_components converged to a non-star edge set "
+            f"({star_violations} nodes with multiple centers or dual "
+            "center/leaf roles) -- labels would be wrong; this "
+            "indicates a bug in the star contraction"
+        )
     leaf_labels = edges.select(
         F.col("d").alias("node"), F.col("s").alias("lbl")
     )

@@ -23,6 +23,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.dates import epoch_us
 from ..sources.testdata import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -83,9 +84,10 @@ RANGE_1H_SQL = """
 
 
 def q_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "tsu", F.unix_micros(F.col("ts").cast("timestamp"))
-    )
+    raw = load_table(spark, sf_dir, "events")
+    # type-aware epoch: cast("timestamp") on an NTZ read shifts by the
+    # session TZ; epoch_us stays instant-exact either way
+    ev = raw.withColumn("tsu", epoch_us(raw, "ts"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("tsu")
