@@ -443,6 +443,9 @@ _FORCE_HEAD: list[str] = [
     "tpch_q5_local_supplier_revenue",
     "tpch_q12_ship_latency",
     "tpch_q14_promo_revenue",
+    # epoch_us hardening (round 5) -- the changed-this-round tier
+    # overflows the window by one and this would fall off its tail
+    "window_range_1h_load",
 ]
 
 #: FALLBACK registration-order head (round-4 vintage), used only when
