@@ -113,7 +113,14 @@ _WORD = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 def _module_index(source: str):
     """Index a module's top level: def/class/assign source segments by
-    bound name, plus its package-internal imports."""
+    bound name, plus its package-internal imports. Imports are collected
+    from the WHOLE tree (``ast.walk``), not just ``tree.body`` --
+    function-local ``from ..functions.dedup import q_decontaminate``
+    style imports must reach the dependency closure too (round-5 advice:
+    with top-level-only collection, editing ``dedup.py`` did not change
+    ``corpus_curation_pipeline``'s fingerprint). The first-hop symbol
+    filter still applies: the bound name appears in the query's source
+    segment, so the dep only counts for queries that use it."""
     tree = ast.parse(source)
     segments: dict[str, str] = {}
     str_consts: list[str] = []
@@ -135,7 +142,8 @@ def _module_index(source: str):
                 str_consts.append(seg)
             elif isinstance(val, ast.JoinedStr):
                 str_consts.append(seg)
-        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
             imports.extend(_resolve_import_safe(node))
     return segments, sorted(set(str_consts)), imports
 
@@ -280,19 +288,26 @@ def ordered_names(queries: dict) -> list[str] | None:
        green rows that predate a code change;
     3. fresh -- evidence still matches the code;
     each tier oldest-green-first, then by name for determinism.
+
+    Queries registered WITHOUT oracle SQL sort behind every
+    oracle-checkable query regardless of staleness: the driver can only
+    record ``err: no_oracle`` for them, so a window slot spent there
+    verifies nothing (round-5 verdict: two slots were burned this way).
+    Their accuracy is covered by hash-checked contract queries instead.
+
     None when no manifest exists (caller keeps static order)."""
     manifest = load_manifest()
     if not manifest:
         return None
     fper = Fingerprinter(worktree_reader)
     keys = []
-    for name, (fn, _sql) in queries.items():
+    for name, (fn, sql) in queries.items():
         entry = manifest.get(name) or {}
         fp = fper.query_fingerprint(fn.__module__, fn.__qualname__)
         fresh = fp is not None and entry.get("fingerprint") == fp
         head_fp = entry.get("head_fingerprint")
         changed_now = fp is None or head_fp is None or head_fp != fp
         last_green = entry.get("last_green_round") or 0
-        keys.append((not changed_now, fresh, last_green, name))
+        keys.append((sql is None, not changed_now, fresh, last_green, name))
     keys.sort()
     return [name for *_rest, name in keys]

@@ -435,18 +435,10 @@ QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
 
 
 #: Manual window overrides, prepended BEFORE the automatic staleness
-#: ordering. Round 5: the four tpch_more queries whose code changed in
-#: round 4 (commit 2f51b73) after their last green rows -- guaranteed
-#: head placement per the round-4 verdict; clear once re-verified.
-_FORCE_HEAD: list[str] = [
-    "tpch_q4_priority_count",
-    "tpch_q5_local_supplier_revenue",
-    "tpch_q12_ship_latency",
-    "tpch_q14_promo_revenue",
-    # epoch_us hardening (round 5) -- the changed-this-round tier
-    # overflows the window by one and this would fall off its tail
-    "window_range_1h_load",
-]
+#: ordering. Round 6: empty -- every round-5 member earned a fresh
+#: green row in ``CORRECTNESS_r05.json`` (round-start protocol:
+#: clear after the manifest regen re-pins their fingerprints).
+_FORCE_HEAD: list[str] = []
 
 #: FALLBACK registration-order head (round-4 vintage), used only when
 #: ``plans/_rotation_manifest.json`` is absent. Since round 5 the

@@ -113,11 +113,25 @@ def test_registry_window_has_no_fresh_before_stale(monkeypatch):
         fp = fper.query_fingerprint(fn.__module__, fn.__qualname__)
         return bool(e and fp and e.get("fingerprint") == fp)
 
-    stale_outside = [n for n in names[50:] if not is_fresh(n)]
+    # no-oracle (rows-only) queries are exempt: a window slot can only
+    # record ``err: no_oracle`` for them, so they sort behind every
+    # oracle-checkable query regardless of staleness (round-5 verdict);
+    # their accuracy is covered by hash-checked contract queries.
+    stale_outside = [
+        n for n in names[50:] if QUERIES[n][1] is not None and not is_fresh(n)
+    ]
     fresh_inside = [n for n in names[:50] if is_fresh(n)]
     assert not (stale_outside and fresh_inside), (
         f"fresh inside window {fresh_inside[:5]} while stale outside "
         f"{stale_outside[:5]}"
+    )
+
+    # and the window itself must never contain a no-oracle query while
+    # any oracle-checkable query waits outside
+    no_oracle_inside = [n for n in names[:50] if QUERIES[n][1] is None]
+    oracle_outside = [n for n in names[50:] if QUERIES[n][1] is not None]
+    assert not (no_oracle_inside and oracle_outside), (
+        f"no-oracle query in window: {no_oracle_inside}"
     )
 
 
