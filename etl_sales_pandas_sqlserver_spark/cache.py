@@ -1,0 +1,53 @@
+"""Construction-time hygiene for query-local DataFrame caches.
+
+Several queries cache a small intermediate frame that is consumed more
+than once inside their own plan (the dedup shingle frame, the ANN
+contract's exact top-k set, the bloom bitmap). The cache must survive
+the query's execution -- so the query cannot unpersist it itself -- but
+without any release it outlives the query: a driver correctness sweep
+or a test session that constructs-and-collects a hundred queries in one
+SparkSession accumulates every one of those caches (round-5 advice;
+only bench.py's ``clearCache`` between runs covered this).
+
+``managed_cache`` is the shared fix: it releases every cache registered
+by PREVIOUS queries, then caches and registers the new frame(s). Since
+the driver, bench, and tests all construct queries serially
+(construct -> execute -> construct ...), by the time the next
+cache-creating query is constructed the prior query's execution is
+over and its cache is dead weight.
+
+A query that needs SEVERAL caches must register them in one call
+(``managed_cache(a, b)``) -- a second call would release the first.
+If an already-constructed query is re-executed after another query was
+constructed, it simply recomputes without the cache: correctness never
+depends on a cache being present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_ACTIVE: list[DataFrame] = []
+
+
+def managed_cache(*dfs: DataFrame) -> DataFrame | tuple[DataFrame, ...]:
+    """Release caches registered by previous queries, then cache and
+    register ``dfs``. Returns the single frame, or the tuple when
+    several are given."""
+    release_caches()
+    out = []
+    for df in dfs:
+        out.append(df.cache())
+        _ACTIVE.append(out[-1])
+    return out[0] if len(out) == 1 else tuple(out)
+
+
+def release_caches() -> None:
+    """Unpersist every registered cache (best-effort: a stopped session
+    must not turn hygiene into an error)."""
+    while _ACTIVE:
+        df = _ACTIVE.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass

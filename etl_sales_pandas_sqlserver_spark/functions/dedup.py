@@ -54,6 +54,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import managed_cache
 from ..session import shuffle_partitions
 from ..sources.testdata import load_table
 from .textstats import fingerprint_col
@@ -179,7 +180,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: FOUR consumers (both self-join sides, both size joins);
     # measured A/B at sf0.1 says recomputing the shingle pipeline for
     # each beats the cache only when there are <= 2 consumers
-    sh = _doc_shingles(spark, sf_dir).cache()
+    sh = managed_cache(_doc_shingles(spark, sf_dir))
     sizes = sh.select("doc_id", F.size("s").alias("n"))
     # inverted index: ship 64-bit hashes through the shuffle, not text.
     # Hash INSIDE the array then explode the precomputed longs: a
@@ -352,8 +353,8 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.bit_or(F.expr("shiftleft(1, cast(pos % 8 as int))")).alias("bval"))
         # <= m/8 rows; cached so the K broadcast copies don't each
         # rebuild the eval pipeline
-        .cache()
     )
+    bloom_bytes = managed_cache(bloom_bytes)
 
     # train side: one map-side broadcast join per probe, no shingle
     # ever shuffles; a shingle is a bloom member iff ALL K probes hit
@@ -463,7 +464,7 @@ def _minhash_signature(ex: DataFrame) -> DataFrame:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: consumed by the signature pipeline AND the verify join
-    sh = _doc_shingles(spark, sf_dir).cache()
+    sh = managed_cache(_doc_shingles(spark, sf_dir))
     # both base hashes computed in-array, exploded as precomputed
     # structs (see q_ngram_jaccard_pairs)
     ex = sh.select(
@@ -931,59 +932,44 @@ def cluster_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     nparts = max(1, min(int(spark.conf.get("spark.sql.shuffle.partitions")),
                         n_edges // 50_000 + 1))
     converged = n_edges == 0
-    star_violations = 0
     with shuffle_partitions(spark, nparts):
-        prev = None  # (count, checksum) of the canonical edge set
         for _ in range(max_rounds):
             if converged:
                 break
-            edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-            # ONE two-level aggregation per round delivers all three
-            # convergence/validity signals:
-            # - edge count and an order-independent overflow-free set
-            #   checksum (ANSI-safe bit_xor: a SUM of hashes overflows
-            #   long under the driver's default session; edges are
-            #   distinct so XOR cancellation needs a 64-bit collision
-            #   to false-converge) -- stability of (count, checksum)
-            #   over a full round is the convergence test;
-            # - a star-forest violation count (a leaf with >1 center,
-            #   or a node that is both center and leaf). The theory
-            #   says every fixed point of small-star∘large-star is a
-            #   star forest, but labels derived from a NON-star state
-            #   would be silently wrong, so the invariant is checked,
-            #   not assumed.
+            # lazy checkpoint: the probe aggregation below is the first
+            # action on the new edge set, so it materializes the
+            # checkpoint as a side effect -- one Spark job per round
+            # instead of two (checkpoint + probe)
+            edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+            # Convergence is detected DIRECTLY, in one two-level
+            # aggregation per round: a canonical edge set is a fixed
+            # point of small-star∘large-star exactly when it is a star
+            # forest (every node is a center or a leaf with ONE center,
+            # never both; centers < leaves by canon, so each center is
+            # its component's minimum -- and the transforms preserve
+            # connectivity, so those components ARE the input's).
+            # Checking the structural invariant itself, instead of
+            # comparing (count, checksum) against the previous round,
+            # saves the extra confirming round, lets an already-star
+            # input converge in one round, and removes the 64-bit
+            # XOR-collision false-convergence window the old checksum
+            # comparison carried (round-5 advice).
             probe = edges.select(
-                F.col("d").alias("node"),
-                F.col("s").alias("peer"),
-                F.lit(0).alias("role"),
+                F.col("d").alias("node"), F.lit(0).alias("role")
             ).unionByName(
-                edges.select(
-                    F.col("s").alias("node"),
-                    F.col("d").alias("peer"),
-                    F.lit(1).alias("role"),
-                )
+                edges.select(F.col("s").alias("node"), F.lit(1).alias("role"))
             )
-            leaf = F.col("role") == 0
+            # edges are distinct+canonical, so leaf rows per node ==
+            # distinct centers per node
             per_node = probe.groupBy("node").agg(
-                F.count_distinct(F.when(leaf, F.col("peer"))).alias("k"),
+                F.sum(F.when(F.col("role") == 0, 1).otherwise(0)).alias("k"),
                 F.max("role").alias("is_center"),
-                F.sum(F.when(leaf, 1).otherwise(0)).alias("n_leaf_rows"),
-                F.bit_xor(
-                    F.when(leaf, F.xxhash64("peer", "node"))
-                ).alias("chk_part"),
             )
             bad_node = (F.col("k") > 1) | (
                 (F.col("k") >= 1) & (F.col("is_center") == 1)
             )
-            cnt, chk, viol = per_node.agg(
-                F.sum("n_leaf_rows"),
-                F.bit_xor("chk_part"),
-                F.sum(bad_node.cast("int")),
-            ).collect()[0]
-            if (cnt, chk) == prev:
-                converged = True
-                star_violations = int(viol or 0)
-            prev = (cnt, chk)
+            viol = per_node.agg(F.sum(bad_node.cast("int"))).collect()[0][0]
+            converged = int(viol or 0) == 0
     if not converged:
         # partial star sets are WRONG (a component would be reported as
         # several clusters) -- fail loudly rather than return them.
@@ -993,13 +979,8 @@ def cluster_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             f"cluster_components did not converge in {max_rounds} rounds "
             f"({n_edges} edges); raise max_rounds"
         )
-    if star_violations:
-        raise RuntimeError(
-            "cluster_components converged to a non-star edge set "
-            f"({star_violations} nodes with multiple centers or dual "
-            "center/leaf roles) -- labels would be wrong; this "
-            "indicates a bug in the star contraction"
-        )
+    # converged == the star-forest invariant HELD (it is the
+    # convergence test), so labels below are safe by construction
     leaf_labels = edges.select(
         F.col("d").alias("node"), F.col("s").alias("lbl")
     )

@@ -53,6 +53,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import managed_cache
 from ..sources.testdata import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -556,7 +557,9 @@ def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # denominator; without the cache the exact full-corpus top-k scan
     # runs twice, and an eager .count() here additionally ran it at
     # DataFrame-CONSTRUCTION time on every invocation
-    exact = q_topk_exact(spark, sf_dir).select("query_id", "neighbor_id").cache()
+    exact = managed_cache(
+        q_topk_exact(spark, sf_dir).select("query_id", "neighbor_id")
+    )
     variants = [
         ("ivf", q_topk_ivf),
         ("lsh", q_topk_ann),

@@ -493,7 +493,14 @@ APPROX_DISTINCT_SQL = """
 # hash-verify the sketch's error bound.
 # ---------------------------------------------------------------------------
 
-_PCT_EPS = 0.001
+#: Rank-window half-width, relative to n. percentile_approx with
+#: accuracy=10_000 guarantees rank error <= n/10_000 = 1e-4 * n;
+#: measured worst-case across sf0.001-0.1 (round 6, MACHINERY/
+#: FURNITURE p90) is 1.03e-4 -- i.e. the sketch runs AT its bound, the
+#: excess over 1e-4 being integer rounding that the +/-1-rank slack in
+#: the window absorbs. 2e-4 keeps the contract binding (2x the
+#: guarantee, was 10x) with headroom only for tie-rounding, not drift.
+_PCT_EPS = 0.0002
 
 PCT_CONTRACT_SQL = """
   SELECT c.c_mktsegment AS mktsegment,

@@ -270,6 +270,21 @@ def test_cluster_components_high_diameter_path(spark):
     assert all(r["cluster_id"] == 1 for r in rows)
 
 
+def test_cluster_components_star_input_converges_in_one_round(spark):
+    # convergence is detected structurally (the post-round edge set IS
+    # a star forest), not by comparing against the previous round, so
+    # an input that is already a min-rooted star needs exactly one
+    # round -- no extra confirming pass (round-5 advice)
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (7, 8)], ["a_id", "b_id"]
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in cluster_components(star, max_rounds=1).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (7, 7), (8, 7)}
+
+
 def test_cluster_components_random_graphs_match_union_find(spark):
     # property check vs a driver-side union-find on deterministic
     # pseudo-random graphs (fixed seeds -> reproducible)
@@ -403,3 +418,43 @@ def test_portable_md5_slice_hash_matches_duckdb(spark):
         f"SELECT {_hash_duck(1)} AS h1, {_hash_duck(15)} AS h2 FROM t"
     ).fetchall()
     assert got_spark == [tuple(r) for r in got_duck]
+
+
+# ---------------------------------------------------------------------------
+# cache.py: construction-time release of query-local caches
+# ---------------------------------------------------------------------------
+
+
+def test_managed_cache_releases_prior_queries_caches(spark, sf_small):
+    """Constructing a new cache-using query must unpersist the caches
+    the previous one registered (round-5 advice: serial driver sweeps
+    accumulated every query's shingle/exact-set cache)."""
+    from etl_sales_pandas_sqlserver_spark.cache import (
+        _ACTIVE,
+        managed_cache,
+        release_caches,
+    )
+    from etl_sales_pandas_sqlserver_spark.functions.dedup import (
+        q_minhash_lsh_pairs,
+    )
+
+    release_caches()
+    # mechanism, on frames with DISTINCT canonicalized plans (alias
+    # names are erased by canonicalization, so same-shape frames would
+    # share one cache entry and mask the release)
+    a = managed_cache(spark.range(10))
+    a.count()
+    assert a.storageLevel.useMemory
+    b = managed_cache(spark.range(20))
+    b.count()
+    assert not a.storageLevel.useMemory  # a's cache released by b
+    assert b.storageLevel.useMemory
+    assert len(_ACTIVE) == 1 and _ACTIVE[0] is b
+
+    # the real cache-using queries register exactly one cache each
+    q1 = q_minhash_lsh_pairs(spark, sf_small)
+    q1.count()
+    assert len(_ACTIVE) == 1 and _ACTIVE[0] is not b
+    assert not b.storageLevel.useMemory
+    release_caches()
+    assert not _ACTIVE
