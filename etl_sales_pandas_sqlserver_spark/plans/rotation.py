@@ -220,17 +220,16 @@ class Fingerprinter:
         self._closure[module] = out
         return out
 
-    def query_fingerprint(self, module: str, func_name: str) -> str | None:
-        """Per-query code fingerprint. None when the defining module or
-        the function is missing from the tree (== stale)."""
+    def _own_text(self, module: str, func_name: str) -> "str | None":
+        """Intra-module closure text for a query: its own source
+        segment, reachable module-level helpers, and every module-level
+        string constant (the oracle SQL lives there)."""
         idx = self.index(module)
         if idx is None:
             return None
-        segments, str_consts, imports = idx
+        segments, str_consts, _imports = idx
         if func_name not in segments:
             return None
-
-        # intra-module reachability closure from the query function
         collected: dict[str, str] = {}
         frontier = [func_name]
         while frontier:
@@ -242,10 +241,35 @@ class Fingerprinter:
                 if ref != name and ref in segments and ref not in collected:
                     frontier.append(ref)
         text = "\n".join(collected[k] for k in sorted(collected))
-        # all module-level string constants (oracle SQL lives here;
         # which constant pairs with which query isn't knowable from
-        # the AST)
+        # the AST, so all of them count (conservative)
         text += "\n".join(str_consts)
+        return text
+
+    def query_own_fingerprint(self, module: str, func_name: str) -> str | None:
+        """Hash of ONLY the intra-module closure. Distinguishes a query
+        whose own code was edited from one marked stale merely because
+        a shared dep module (e.g. ``sources/testdata``) changed -- the
+        former must reach the verification window THIS round, the
+        latter can wait its staleness turn (round-6 lesson: adding one
+        loader function flooded the changed tier with every query in
+        the registry and pushed the genuinely rewritten ones out)."""
+        text = self._own_text(module, func_name)
+        if text is None:
+            return None
+        return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+    def query_fingerprint(self, module: str, func_name: str) -> str | None:
+        """Per-query code fingerprint (own closure + transitively
+        imported package modules). None when the defining module or
+        the function is missing from the tree (== stale)."""
+        idx = self.index(module)
+        if idx is None:
+            return None
+        text = self._own_text(module, func_name)
+        if text is None:
+            return None
+        _segments, _str_consts, imports = idx
 
         # first-hop symbol filter: a dep module counts only if one of
         # the names it binds appears in the collected segments
@@ -281,12 +305,17 @@ def load_manifest() -> dict | None:
 def ordered_names(queries: dict) -> list[str] | None:
     """Registry names sorted for the 50-query correctness window:
 
-    1. changed THIS round (worktree fingerprint differs from the one at
-       the latest verified commit, ``head_fingerprint``) -- algorithm
-       rewrites in flight are the highest-risk evidence gap;
-    2. stale (code changed since the query's LAST GREEN round) --
+    1. OWN code changed this round (the query's intra-module closure
+       differs from ``head_own_fingerprint`` at the latest verified
+       commit, or the query is new) -- algorithm rewrites in flight
+       are the highest-risk evidence gap;
+    2. full fingerprint changed this round (a dep module the query
+       reaches changed -- e.g. a shared loader) -- real staleness, but
+       a whole-registry event whenever a common module is touched, so
+       it must not displace tier 1;
+    3. stale (code changed since the query's LAST GREEN round) --
        green rows that predate a code change;
-    3. fresh -- evidence still matches the code;
+    4. fresh -- evidence still matches the code;
     each tier oldest-green-first, then by name for determinism.
 
     Queries registered WITHOUT oracle SQL sort behind every
@@ -304,10 +333,24 @@ def ordered_names(queries: dict) -> list[str] | None:
     for name, (fn, sql) in queries.items():
         entry = manifest.get(name) or {}
         fp = fper.query_fingerprint(fn.__module__, fn.__qualname__)
+        own_fp = fper.query_own_fingerprint(fn.__module__, fn.__qualname__)
         fresh = fp is not None and entry.get("fingerprint") == fp
         head_fp = entry.get("head_fingerprint")
+        head_own = entry.get("head_own_fingerprint")
+        own_changed_now = (
+            own_fp is None or head_own is None or head_own != own_fp
+        )
         changed_now = fp is None or head_fp is None or head_fp != fp
         last_green = entry.get("last_green_round") or 0
-        keys.append((sql is None, not changed_now, fresh, last_green, name))
+        keys.append(
+            (
+                sql is None,
+                not own_changed_now,
+                not changed_now,
+                fresh,
+                last_green,
+                name,
+            )
+        )
     keys.sort()
     return [name for *_rest, name in keys]

@@ -528,6 +528,7 @@ def _register_extensions() -> None:
     from .sql_interface import SQL_INTERFACE_QUERIES
     from .temporal_queries import TEMPORAL_QUERIES
     from .tpch_more import TPCH_MORE_QUERIES
+    from .tpch_partsupp import TPCH_PARTSUPP_QUERIES
     from .tpch_suite2 import TPCH_SUITE2_QUERIES
     from .window_queries import WINDOW_QUERIES
 
@@ -538,6 +539,7 @@ def _register_extensions() -> None:
     QUERIES.update(SQL_INTERFACE_QUERIES)
     QUERIES.update(TEMPORAL_QUERIES)
     QUERIES.update(TPCH_MORE_QUERIES)
+    QUERIES.update(TPCH_PARTSUPP_QUERIES)
     QUERIES.update(TPCH_SUITE2_QUERIES)
     QUERIES.update(WINDOW_QUERIES)
     QUERIES.update(SCALE_QUERIES)

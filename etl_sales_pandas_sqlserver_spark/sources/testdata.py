@@ -49,3 +49,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ``partsupp`` DERIVED from the driver's part and
+    supplier tables -- the testdata ships none, which is what kept
+    TPC-H Q2/Q9/Q11/Q16/Q20 unimplementable (SURVEY.md section 2.8).
+
+    Follows the TPC-H generator's shape (4 suppliers per part):
+    ``ps_suppkey = (p + p/S + i*(S/4)) mod S`` over the testdata's
+    0-based keys -- the ``p/S`` rotation sits OUTSIDE the ``i``
+    multiplier (TPC-H puts it inside), because with the testdata's
+    small supplier counts an increment of ``S/4 + p/S`` can divide S
+    and collapse the 4 suppliers onto fewer keys; ``i*(S/4)`` alone is
+    collision-free for any S >= 4. availqty/supplycost are pure integer
+    arithmetic on the keys: no seed state, no sampling, so a DuckDB
+    oracle rebuilds the identical frame from the same base views
+    (``plans/tpch_partsupp.PARTSUPP_CTE``). ``ps_supplycost`` is whole
+    dollars (BIGINT) so downstream money math is exact in both engines.
+
+    Scale: a narrow projection of ``part`` cross-joined with a
+    broadcast single-row supplier count and a 4-element explode --
+    shuffle-free, |partsupp| = 4x|part| regardless of SF."""
+    from pyspark.sql import functions as F
+
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    scnt = load_table(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).alias("s_cnt")
+    )
+    base = part.crossJoin(F.broadcast(scnt)).select(
+        F.col("p_partkey").alias("ps_partkey"),
+        "s_cnt",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"),
+    )
+    sk = F.expr(
+        "(ps_partkey + ps_partkey DIV s_cnt + i * (s_cnt DIV 4)) % s_cnt"
+    )
+    return base.select("ps_partkey", sk.alias("ps_suppkey")).select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 3) % 9999 + 1).alias(
+            "ps_availqty"
+        ),
+        (
+            (F.col("ps_partkey") * 419 + F.col("ps_suppkey") * 263) % 999 + 1
+        ).alias("ps_supplycost"),
+    )

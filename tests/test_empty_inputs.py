@@ -41,6 +41,9 @@ _REPRESENTATIVES = [
     "corpus_curation_pipeline",
     "source_quota_cap",
     "similarity_ann_recall_contract",
+    # round-6: the partsupp-derived TPC-H family
+    "tpch_q9_product_profit",
+    "tpch_q20_excess_stock",
 ]
 
 

@@ -47,3 +47,31 @@ def test_registry_consistency():
     o = e.oracle_sql()
     assert set(o).issubset(set(q))
     assert q, "queries() must not be empty"
+
+
+def test_synth_partsupp_matches_cte_and_tpch_shape(spark, sf_small):
+    """The derived partsupp frame and its DuckDB CTE twin must stay in
+    lockstep (every partsupp-family oracle embeds the CTE), and the
+    TPC-H shape invariant -- exactly 4 distinct suppliers per part --
+    must hold."""
+    from pyspark.sql import functions as F
+
+    from etl_sales_pandas_sqlserver_spark.plans.tpch_partsupp import (
+        PARTSUPP_CTE,
+    )
+    from etl_sales_pandas_sqlserver_spark.sources.testdata import (
+        synth_partsupp,
+    )
+
+    sdf = synth_partsupp(spark, sf_small)
+    odf = run_oracle(
+        f"WITH {PARTSUPP_CTE} SELECT * FROM partsupp", sf_small
+    )
+    assert not compare(sdf, odf)
+    bad = (
+        sdf.groupBy("ps_partkey")
+        .agg(F.count_distinct("ps_suppkey").alias("k"))
+        .filter(F.col("k") != 4)
+        .count()
+    )
+    assert bad == 0

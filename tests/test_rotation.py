@@ -163,3 +163,26 @@ def test_manifest_tool_state_is_consistent():
         assert entry.get("fingerprint"), name
         assert "head_fingerprint" in entry, name
 
+
+
+def test_own_fingerprint_ignores_dep_module_changes():
+    """Two-level staleness: editing a dep module flips the FULL
+    fingerprint but not the OWN fingerprint; editing the query's own
+    body flips both. (Round-6 lesson: one new loader function flooded
+    the changed tier with the whole registry.)"""
+    base = _files()
+    changed_dep = _files(dep_src=_DEP_SRC.replace("x + 1", "x + 2"))
+    changed_own = _files(mod_src=_MOD_SRC.replace("return _shared(1)", "return _shared(9)"))
+
+    def fps(files):
+        f = Fingerprinter(_reader(files))
+        return (
+            f.query_own_fingerprint(_MOD, "q_alpha"),
+            f.query_fingerprint(_MOD, "q_alpha"),
+        )
+
+    own0, full0 = fps(base)
+    own1, full1 = fps(changed_dep)
+    own2, full2 = fps(changed_own)
+    assert own0 == own1 and full0 != full1  # dep edit: full only
+    assert own0 != own2 and full0 != full2  # own edit: both

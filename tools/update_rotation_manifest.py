@@ -121,12 +121,16 @@ def main() -> int:
         fp = readers[rnd].query_fingerprint(fn.__module__, fn.__qualname__)
         manifest[name] = {"last_green_round": rnd, "fingerprint": fp}
         if head_round is not None:
-            # fingerprint at the LATEST verified commit: lets the
-            # runtime distinguish "changed this round" (highest
-            # re-verify priority) from merely stale-since-last-green
+            # fingerprints at the LATEST verified commit: let the
+            # runtime distinguish "own code changed this round"
+            # (highest re-verify priority) from "a shared dep module
+            # changed" from merely stale-since-last-green
             manifest[name]["head_fingerprint"] = readers[
                 head_round
             ].query_fingerprint(fn.__module__, fn.__qualname__)
+            manifest[name]["head_own_fingerprint"] = readers[
+                head_round
+            ].query_own_fingerprint(fn.__module__, fn.__qualname__)
     with open(MANIFEST_PATH, "w") as f:
         json.dump(dict(sorted(manifest.items())), f, indent=1, sort_keys=True)
         f.write("\n")
