@@ -153,6 +153,58 @@ def main() -> None:
             for _ in range(heavy_extra):
                 one_run(name, fn)
 
+    # isolated medians for the suspicious queries: even min-of-4 under
+    # suite conditions overstated heavies 3x vs a dedicated process
+    # (round-5 VERDICT: quantize_embeddings_int8 2.45s suite vs 0.76s
+    # isolated median, adjudicated by hand every round). Queries whose
+    # suite min still exceeds the heavy threshold, or regressed >1.5x
+    # against the previous round's detail file, re-run in ONE fresh
+    # process via tests/perf_isolated.py; {suite, isolated} pairs land
+    # in the detail file so round-over-round triage needs no hand runs.
+    prior: dict[str, float] = {}
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    try:
+        with open(detail_path) as fh:
+            prior = json.load(fh).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        pass
+    suspicious = sorted(
+        name
+        for name, t in timings.items()
+        if t > heavy_sec
+        or (name in prior and t > 0.5 and t > 1.5 * prior[name])
+    )
+    isolated: dict[str, dict] = {}
+    if suspicious and os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0":
+        import subprocess
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(repo, "tests", "perf_isolated.py"),
+                ",".join(suspicious),
+                "5",
+            ],
+            capture_output=True,
+            text=True,
+            cwd=repo,
+            timeout=1800,
+        )
+        for line in proc.stdout.splitlines():
+            try:
+                isolated.update(json.loads(line))
+            except json.JSONDecodeError:
+                continue
+        if proc.returncode != 0 and not isolated:
+            print(
+                f"bench: isolated re-run failed: {proc.stderr[-500:]}",
+                file=sys.stderr,
+            )
+
     total = round(sum(timings.values()), 3)
     summary = {
         "metric": "engine_query_suite_wall_seconds",
@@ -164,20 +216,22 @@ def main() -> None:
         "heavy_threshold_sec": heavy_sec,
         "cold_total_sec": round(sum(cold.values()), 3),
         "ann_index_build_sec": ann_build_sec,
+        "isolated_queries": len(isolated),
     }
     full = {
         **summary,
         "queries": timings,
         "queries_cold": cold,
         "runs_per_query": runs_per_query,
+        # per suspicious query: suite min alongside the fresh-process
+        # median -- the stable round-over-round estimator
+        "isolated": {
+            n: {"suite": timings.get(n), **d} for n, d in isolated.items()
+        },
     }
     # stdout tail capture truncates the per-query map with 97 queries
     # (round 3 lost positions 0-40), so persist the full object to a
     # file the judge can always read; keep stdout for the driver
-    detail_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_DETAIL",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-    )
     try:
         with open(detail_path, "w") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
