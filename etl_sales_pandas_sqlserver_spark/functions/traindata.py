@@ -577,7 +577,93 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Global training order: every document gets a unique, contiguous,
+# DETERMINISTIC 0-based position in the training stream (shuffled by
+# content hash so the order is seed-stable and source-decorrelated),
+# plus its shard assignment. The naive spelling --
+# row_number() OVER (ORDER BY key) -- funnels the whole corpus through
+# ONE task (Spark plans a global window as a single partition); at
+# 100 TB that is the canonical scale-killer. The scale path is the
+# classic two-pass zip-with-index, kept entirely in DataFrame/Arrow
+# land:
+#   1. range-repartition by the shuffle key and sort within partitions
+#      (a scalable range exchange, pinned by localCheckpoint so both
+#      passes see identical partitioning);
+#   2. count rows per partition (|partitions| rows), prefix-sum them in
+#      a window over that TINY frame, broadcast-join the offsets back;
+#   3. an Arrow-batched mapInPandas adds offset + running local index.
+# No driver collect anywhere. The oracle is the single-task spelling
+# (ROW_NUMBER over the same md5 key) -- exact at test scale, and a
+# green row proves the distributed numbering equals the global sort.
+# ---------------------------------------------------------------------------
+
+_N_ORDER_PARTS = 8
+_N_SHARDS = 4
+
+TRAINING_ORDER_SQL = f"""
+  WITH ranked AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+             AS pos
+    FROM documents
+  )
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         CAST(pos % {_N_SHARDS} AS BIGINT) AS shard
+  FROM ranked
+  ORDER BY pos
+"""
+
+
+def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: F401
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("k")
+    )
+    parts = (
+        keyed.repartitionByRange(_N_ORDER_PARTS, "k")
+        .sortWithinPartitions("k")
+        .withColumn("pid", F.spark_partition_id())
+        # materialize ONCE: range boundaries are sampled, so the counts
+        # pass and the numbering pass must read the same physical
+        # partitioning, not two re-executions of it
+        .localCheckpoint(eager=True)
+    )
+    counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    off_win = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # the offsets window runs over |partitions| rows -- single-task by
+    # construction but bounded by the partition count, not the data
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("n").over(off_win), F.lit(0)).alias("off")
+    )
+    staged = parts.join(F.broadcast(offsets), "pid")
+
+    def add_index(batches):
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = int(pdf["off"].iloc[0]) + local
+            out = pdf[["doc_id"]].assign(
+                pos=range(base, base + len(pdf))
+            )
+            local += len(pdf)
+            yield out
+
+    numbered = staged.mapInPandas(add_index, schema="doc_id long, pos long")
+    return numbered.select(
+        "doc_id",
+        "pos",
+        F.pmod(F.col("pos"), F.lit(_N_SHARDS)).cast("bigint").alias("shard"),
+    ).orderBy("pos")
+
+
 TRAINDATA_QUERIES = {
+    "training_order_global_index": (q_training_order, TRAINING_ORDER_SQL),
     "source_quota_cap": (q_source_quota, SOURCE_QUOTA_SQL),
     "corpus_curation_pipeline": (q_corpus_curation, CORPUS_CURATION_SQL),
     "split_train_val_test": (q_split_train_val_test, SPLIT_SQL),

@@ -82,7 +82,57 @@ def q_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 3. Bucketed co-located join: orders |x| lineitem on orderkey with BOTH
+# sides pre-bucketed on the key (sources/bucketed.py), so the fact-fact
+# join runs with NO exchange on either input -- the write-once shuffle
+# is amortized across every subsequent join on that key, the decisive
+# recurring-cost optimization for 100 TB fact joins. The merge hint
+# pins sort-merge so the demonstration holds at any scale (broadcast
+# would mask it at test SF). Oracle = the plain join: a green row
+# proves the bucketed layout computes the identical answer.
+# ---------------------------------------------------------------------------
+
+BUCKETED_JOIN_SQL = """
+  SELECT o.o_orderpriority AS orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+  ORDER BY 1
+"""
+
+
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bucketed import bucketed_table
+
+    o = bucketed_table(
+        spark, sf_dir, "orders", "o_orderkey",
+        ["o_orderkey", "o_orderpriority"],
+    )
+    li = bucketed_table(
+        spark, sf_dir, "lineitem", "l_orderkey",
+        ["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        o.hint("merge")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(disc_price).cast("double").alias("revenue"),
+        )
+        .orderBy("orderpriority")
+    )
+
+
 SCALE_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "skew_salted_user_counts": (q_salted_user_counts, SALTED_USER_COUNTS_SQL),
     "skew_salted_join_segments": (q_salted_join_segments, SALTED_JOIN_SEGMENTS_SQL),
+    "bucketed_join_order_revenue": (q_bucketed_join_revenue, BUCKETED_JOIN_SQL),
 }

@@ -107,3 +107,36 @@ def test_curation_dedup_uses_window_group_limit(spark, sf_small):
     # fingerprint
     fn, _ = QUERIES["corpus_curation_pipeline"]
     assert "WindowGroupLimit" in _optimized(fn(spark, sf_small))
+
+
+def test_bucketed_join_has_no_key_exchange(spark, sf_small):
+    """The bucketed orders|x|lineitem join must read bucket-aligned
+    scans: a SortMergeJoin with NO shuffle exchange on either join key
+    (the write-once bucket layout replaces the per-query shuffle --
+    the decisive recurring cost of fact-fact joins at 100 TB)."""
+    import re
+
+    fn, _ = QUERIES["bucketed_join_order_revenue"]
+    plan = _physical(fn(spark, sf_small))
+    assert "SortMergeJoin" in plan
+    assert not re.search(
+        r"Exchange hashpartitioning\((o_orderkey|l_orderkey)", plan
+    ), "join key exchange reappeared -- bucketing is not being used"
+
+
+def test_training_order_avoids_global_single_partition(spark, sf_small):
+    """Global index assignment must stay distributed: the Arrow-batched
+    two-pass numbering (MapInPandas + broadcast offsets), never a
+    whole-corpus ROW_NUMBER window funneled through one task. The ONE
+    allowed single-partition funnel is the offsets window, and it must
+    sit directly on the per-partition count aggregate (|partitions|
+    rows), never on corpus-sized data."""
+    fn, _ = QUERIES["training_order_global_index"]
+    plan = _physical(fn(spark, sf_small))
+    assert "MapInPandas" in plan
+    lines = plan.splitlines()
+    funnels = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert len(funnels) <= 1, "extra global funnel appeared"
+    for i in funnels:
+        # child printed right below the exchange: must be the count agg
+        assert "HashAggregate(keys=[pid" in lines[i + 1], lines[i + 1]
