@@ -428,7 +428,233 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+# algorithm): hash every K-token gram, slide a W-gram window, record
+# each window's minimum hash (rightmost on ties). Guarantees: any
+# shared run of K+W-1 tokens between two documents yields at least one
+# shared fingerprint, while selecting only ~2/(W+1) of all grams --
+# the position-robust substring-matching layer the k-gram families
+# (dedup_ngram_*, dedup_repeated_spans) don't cover.
+#
+# Portability trick that makes this EXACTLY oracle-replayable: the
+# rightmost-min-with-tie-break selection is folded into one integer --
+# cmb = hash * 2^20 + (2^20 - 1 - pos) -- so a plain window MIN picks
+# the winner (smaller hash wins; among equal hashes the larger pos
+# encodes smaller) and decoding recovers (hash, pos). The hash is the
+# first 10 md5 hex digits as an integer (< 2^40, so cmb < 2^60 --
+# int64-safe under ANSI; both engines fold the same digits). Position
+# must fit 20 bits (1M grams per document) -- production chunks longer
+# docs first (chunk_context_windows).
+#
+# Scale: grams and hashes are computed IN-ARRAY (one row per doc
+# through codegen), then one posexplode + one window shuffle
+# partitioned by doc_id -- per-doc local work, no cross-doc traffic.
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 3  # tokens per gram
+_WINNOW_W = 4  # grams per winnowing window
+_POS_ENC = 1 << 20
+
+#: DuckDB fold of the first 10 md5 hex digits of expression ``e``
+_WINNOW_HASH_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(range(1, 11), j ->"
+    " CAST(strpos('0123456789abcdef', substr(md5({e}), j, 1)) - 1 AS BIGINT))),"
+    " (acc, x) -> acc * 16 + x)"
+)
+
+WINNOW_SQL = f"""
+  WITH toks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '{_TOKEN_SPLIT}') AS w
+    FROM documents
+  ),
+  grams AS (
+    SELECT doc_id,
+           list_transform(
+             range(1, len(w) - {_WINNOW_K} + 2),
+             i -> array_to_string(list_slice(w, i, i + {_WINNOW_K} - 1), ' ')
+           ) AS g
+    FROM toks
+    WHERE len(w) >= {_WINNOW_K}
+  ),
+  cmb AS (
+    SELECT doc_id,
+           list_transform(
+             range(1, len(g) + 1),
+             i -> {_WINNOW_HASH_DUCK.format(e="g[i]")} * {_POS_ENC}
+                  + ({_POS_ENC} - i)
+           ) AS cs
+    FROM grams
+  ),
+  ex AS (SELECT doc_id, UNNEST(cs) AS c FROM cmb),
+  win AS (
+    SELECT doc_id, c,
+           MIN(c) OVER (PARTITION BY doc_id
+                        ORDER BY ({_POS_ENC} - 1 - c % {_POS_ENC})
+                        ROWS BETWEEN CURRENT ROW
+                        AND {_WINNOW_W - 1} FOLLOWING) AS sel,
+           COUNT(*) OVER (PARTITION BY doc_id
+                          ORDER BY ({_POS_ENC} - 1 - c % {_POS_ENC})
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_WINNOW_W - 1} FOLLOWING) AS n_in_win
+    FROM ex
+  )
+  SELECT DISTINCT doc_id,
+         CAST({_POS_ENC} - 1 - sel % {_POS_ENC} AS BIGINT) AS fp_pos,
+         CAST(sel // {_POS_ENC} AS BIGINT) AS fp_hash
+  FROM win
+  WHERE n_in_win = {_WINNOW_W}
+  ORDER BY doc_id, fp_pos
+"""
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), _TOKEN_SPLIT).alias("w"),
+    ).filter(F.size("w") >= _WINNOW_K)
+    # grams + hash + position encoding all inside the array: the
+    # explode below emits precomputed longs, keeping the per-token
+    # string work in one codegen'd pass per document
+    cmb = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, size(w) - {_WINNOW_K} + 1),"
+            f" i -> CAST(conv(substring("
+            f"md5(array_join(slice(w, i, {_WINNOW_K}), ' ')), 1, 10),"
+            f" 16, 10) AS BIGINT) * {_POS_ENC} + ({_POS_ENC} - i))"
+        ).alias("cs"),
+    )
+    ex = cmb.select("doc_id", F.explode("cs").alias("c")).withColumn(
+        "p", F.lit(_POS_ENC - 1) - F.col("c") % F.lit(_POS_ENC)
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    win = ex.select(
+        "doc_id",
+        F.min("c").over(frame).alias("sel"),
+        F.count(F.lit(1)).over(frame).alias("n_in_win"),
+    )
+    return (
+        win.filter(F.col("n_in_win") == _WINNOW_W)
+        .select(
+            "doc_id",
+            (F.lit(_POS_ENC - 1) - F.col("sel") % F.lit(_POS_ENC))
+            .cast("bigint")
+            .alias("fp_pos"),
+            # integer DIV, not float division: sel is up to 2^60 and a
+            # double quotient would round the low bits of the hash
+            F.expr(f"CAST(sel DIV {_POS_ENC} AS BIGINT)").alias("fp_hash"),
+        )
+        .distinct()
+        .orderBy("doc_id", "fp_pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document-frequency quality scoring (CCNet-style cheap proxy for LM
+# perplexity): a document whose tokens are mostly corpus-rare is
+# disproportionately likely to be noise (mojibake, ids, boilerplate
+# markup), while all-common tokens suggest template text. Per doc:
+# the mean document-frequency of its tokens, the hapax share (tokens
+# appearing in exactly one document), and a quality band.
+#
+# Cross-engine determinism rule: EVERYTHING aggregates in exact
+# integers (sum of df counts, token counts, hapax counts); the only
+# float op is ONE final division per row -- a single IEEE-754 op both
+# engines compute identically -- and the band thresholds compare
+# integers cross-multiplied, never floats. (Float SUMS are
+# order-dependent and would break the driver's value hash.)
+#
+# Scale: token df is a vocab-sized aggregate; the doc join ships
+# (token, df) pairs keyed by token, then one groupBy doc_id -- three
+# key-local shuffles, no row ever carries text past the explode.
+# ---------------------------------------------------------------------------
+
+DOCFREQ_QUALITY_SQL = f"""
+  WITH tok AS (
+    SELECT doc_id,
+           UNNEST(regexp_split_to_array(trim(lower(text)), '{_TOKEN_SPLIT}'))
+             AS tok
+    FROM documents
+  ),
+  df AS (
+    SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok GROUP BY tok
+  ),
+  n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+  per_doc AS (
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.df) AS BIGINT) AS sum_df,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax
+    FROM tok t JOIN df d ON d.tok = t.tok
+    GROUP BY t.doc_id
+  )
+  SELECT doc_id, n_tokens, sum_df, n_hapax,
+         CAST(sum_df AS DOUBLE) / (n_tokens * n_docs) AS mean_df_ratio,
+         CASE WHEN 50 * sum_df >= 39 * n_tokens * n_docs THEN 'common'
+              WHEN 25 * sum_df >= 19 * n_tokens * n_docs THEN 'typical'
+              ELSE 'rare' END AS band
+  FROM per_doc CROSS JOIN n
+  ORDER BY doc_id
+"""
+
+
+def q_docfreq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), _TOKEN_SPLIT)
+        ).alias("tok"),
+    )
+    df_tbl = tok.groupBy("tok").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        tok.join(df_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("df").alias("sum_df"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+    )
+    denom = F.col("n_tokens") * F.col("n_docs")
+    # thresholds (0.78 / 0.76) sit inside the corpus's observed ratio
+    # band (0.72-0.79 on the synthetic vocab) so all three bands are
+    # exercised; spelled as integer cross-multiplications
+    band = (
+        F.when(F.lit(50) * F.col("sum_df") >= F.lit(39) * denom, "common")
+        .when(F.lit(25) * F.col("sum_df") >= F.lit(19) * denom, "typical")
+        .otherwise("rare")
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_df",
+            "n_hapax",
+            (F.col("sum_df").cast("double") / denom).alias("mean_df_ratio"),
+            band.alias("band"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 TEXT_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "text_docfreq_quality": (q_docfreq_quality, DOCFREQ_QUALITY_SQL),
+    "text_winnow_fingerprints": (q_winnow_fingerprints, WINNOW_SQL),
     "text_token_stats": (q_token_stats, TOKEN_STATS_SQL),
     "text_repetition_scores": (q_text_repetition, TEXT_REPETITION_SQL),
     "text_quality_scores": (q_quality_scores, QUALITY_SCORES_SQL),

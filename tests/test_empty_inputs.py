@@ -44,6 +44,11 @@ _REPRESENTATIVES = [
     # round-6: the partsupp-derived TPC-H family
     "tpch_q9_product_profit",
     "tpch_q20_excess_stock",
+    # round-6: bucketed join, distributed global index, winnowing
+    "bucketed_join_order_revenue",
+    "training_order_global_index",
+    "text_winnow_fingerprints",
+    "text_docfreq_quality",
 ]
 
 

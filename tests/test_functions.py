@@ -458,3 +458,47 @@ def test_managed_cache_releases_prior_queries_caches(spark, sf_small):
     assert not b.storageLevel.useMemory
     release_caches()
     assert not _ACTIVE
+
+
+# ---------------------------------------------------------------------------
+# textstats.py: winnowing fingerprints (MOSS guarantee + density)
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_guarantee_and_density(spark, tmp_path):
+    """Any K+W-1-token run shared by two documents must yield at least
+    one shared fingerprint (the winnowing guarantee), disjoint texts
+    share none, and selection density stays near 2/(W+1)."""
+    import pandas as pd
+
+    from etl_sales_pandas_sqlserver_spark.functions.textstats import (
+        _WINNOW_K,
+        _WINNOW_W,
+        q_winnow_fingerprints,
+    )
+
+    shared_run = " ".join(f"run{i}" for i in range(_WINNOW_K + _WINNOW_W - 1))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma " + shared_run + " delta epsilon zeta",
+                "one two three four " + shared_run + " five six seven",
+                " ".join(f"uniq{i}" for i in range(40)),
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len()
+    docs.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    rows = q_winnow_fingerprints(spark, str(tmp_path)).collect()
+    fps = {}
+    for r in rows:
+        fps.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert fps[1] & fps[2], "shared run produced no shared fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # density: doc 3 has 40-K+1 grams; winnowing keeps well under half
+    n_grams_3 = 40 - _WINNOW_K + 1
+    assert 1 <= len(fps[3]) <= n_grams_3 / 2
