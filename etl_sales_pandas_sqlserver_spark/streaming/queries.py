@@ -434,7 +434,90 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "view_us", "purchase_us")
 
 
+# ---------------------------------------------------------------------------
+# 7. NATIVE session-window aggregation (F.session_window): Spark's
+# built-in gap-based session operator, complementing the
+# applyInPandasWithState sessionizer above -- the stateful variant
+# shows the arbitrary-state escape hatch, this one shows that when the
+# built-in CAN express the semantics it is the right tool (JVM state
+# store merging sessions across micro-batches, no Python in the loop).
+# One row per (user, session); the window's end is last-event + gap,
+# so last-event time is recovered by subtracting the gap. Oracle: the
+# classic batch islands spelling (lag > gap starts a new island) --
+# boundary convention probed empirically: Spark MERGES two events
+# spaced exactly one gap apart, which is precisely what "new island
+# only when diff > gap" replays.
+# ---------------------------------------------------------------------------
+
+STREAM_SESSION_WINDOW_SQL = f"""
+  WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+  ),
+  flagged AS (
+    SELECT user_id, ts_us, value,
+           CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                              ORDER BY ts_us)
+                     > {_SESSION_GAP_US} OR
+                LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                     IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM e
+  ),
+  islands AS (
+    SELECT user_id, ts_us, value,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS UNBOUNDED PRECEDING) AS sess
+    FROM flagged
+  )
+  SELECT user_id,
+         CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+         CAST(MAX(ts_us) AS BIGINT) AS session_last_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+  FROM islands
+  GROUP BY user_id, sess
+  ORDER BY user_id, session_start_us
+"""
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    gap_us = _SESSION_GAP_US
+    agg = (
+        ev.withWatermark("event_time", "1 hour")
+        .groupBy(
+            F.session_window("event_time", f"{gap_us // 60_000_000} minutes"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.expr("unix_micros(session_window.start)").alias(
+                "session_start_us"
+            ),
+            # the native window's end is last event + gap
+            (F.expr("unix_micros(session_window.end)") - F.lit(gap_us)).alias(
+                "session_last_us"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+    with shuffle_partitions(spark, 8):
+        out = _run_to_table(spark, agg, "complete")
+    return out.orderBy("user_id", "session_start_us")
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
+    "stream_session_window_native": (
+        q_stream_session_window,
+        STREAM_SESSION_WINDOW_SQL,
+    ),
     "stream_hourly_agg": (q_stream_hourly, STREAM_HOURLY_SQL),
     "stream_sessionize_stateful": (q_stream_sessions, STREAM_SESSIONS_SQL),
     "stream_dedup_keys": (q_stream_dedup, STREAM_DEDUP_SQL),

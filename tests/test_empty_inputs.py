@@ -49,6 +49,7 @@ _REPRESENTATIVES = [
     "training_order_global_index",
     "text_winnow_fingerprints",
     "text_docfreq_quality",
+    "stream_session_window_native",
 ]
 
 
