@@ -125,6 +125,7 @@ def _module_index(source: str):
     segments: dict[str, str] = {}
     str_consts: list[str] = []
     imports: list[tuple[str, str]] = []
+    pairings: dict[str, set[str]] = {}
     for node in tree.body:
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
             seg = ast.get_source_segment(source, node) or ""
@@ -142,10 +143,27 @@ def _module_index(source: str):
                 str_consts.append(seg)
             elif isinstance(val, ast.JoinedStr):
                 str_consts.append(seg)
+            elif isinstance(val, ast.Dict):
+                # registry dict literal ({"name": (q_fn, THE_SQL)}):
+                # names appearing together in one entry's value are
+                # PAIRED -- this is how a query function learns which
+                # module constant is ITS oracle SQL, so the own
+                # fingerprint covers exactly that constant instead of
+                # every string in the module (whole-module constant
+                # hashing made any new query flip every sibling's own
+                # fingerprint -- round-6 lesson, second instance)
+                for v in val.values:
+                    vnames = {
+                        x.id for x in ast.walk(v) if isinstance(x, ast.Name)
+                    }
+                    for fn_name in vnames:
+                        pairings.setdefault(fn_name, set()).update(
+                            vnames - {fn_name}
+                        )
     for node in ast.walk(tree):
         if isinstance(node, (ast.Import, ast.ImportFrom)):
             imports.extend(_resolve_import_safe(node))
-    return segments, sorted(set(str_consts)), imports
+    return segments, sorted(set(str_consts)), imports, pairings
 
 
 class _Ctx:
@@ -222,16 +240,18 @@ class Fingerprinter:
 
     def _own_text(self, module: str, func_name: str) -> "str | None":
         """Intra-module closure text for a query: its own source
-        segment, reachable module-level helpers, and every module-level
-        string constant (the oracle SQL lives there)."""
+        segment, reachable module-level helpers, and the module
+        constants PAIRED with it through a registry dict entry (its
+        oracle SQL). Other module constants stay out of the own text --
+        they are covered conservatively by the FULL fingerprint."""
         idx = self.index(module)
         if idx is None:
             return None
-        segments, str_consts, _imports = idx
+        segments, _str_consts, _imports, pairings = idx
         if func_name not in segments:
             return None
         collected: dict[str, str] = {}
-        frontier = [func_name]
+        frontier = [func_name] + sorted(pairings.get(func_name, ()))
         while frontier:
             name = frontier.pop()
             if name in collected or name not in segments:
@@ -240,11 +260,7 @@ class Fingerprinter:
             for ref in set(_WORD.findall(segments[name])):
                 if ref != name and ref in segments and ref not in collected:
                     frontier.append(ref)
-        text = "\n".join(collected[k] for k in sorted(collected))
-        # which constant pairs with which query isn't knowable from
-        # the AST, so all of them count (conservative)
-        text += "\n".join(str_consts)
-        return text
+        return "\n".join(collected[k] for k in sorted(collected))
 
     def query_own_fingerprint(self, module: str, func_name: str) -> str | None:
         """Hash of ONLY the intra-module closure. Distinguishes a query
@@ -260,16 +276,21 @@ class Fingerprinter:
         return hashlib.sha256(text.encode("utf-8")).hexdigest()
 
     def query_fingerprint(self, module: str, func_name: str) -> str | None:
-        """Per-query code fingerprint (own closure + transitively
-        imported package modules). None when the defining module or
-        the function is missing from the tree (== stale)."""
+        """Per-query code fingerprint (own closure + ALL module string
+        constants + transitively imported package modules). None when
+        the defining module or the function is missing from the tree
+        (== stale). The blanket constant inclusion is deliberately
+        conservative at this level: an unpaired SQL edit still flips
+        the full fingerprint (tier-2 re-verify), while only the
+        query's OWN code/SQL flips the tier-1 own fingerprint."""
         idx = self.index(module)
         if idx is None:
             return None
         text = self._own_text(module, func_name)
         if text is None:
             return None
-        _segments, _str_consts, imports = idx
+        _segments, str_consts, imports, _pairings = idx
+        text += "\n".join(str_consts)
 
         # first-hop symbol filter: a dep module counts only if one of
         # the names it binds appears in the collected segments

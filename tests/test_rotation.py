@@ -186,3 +186,28 @@ def test_own_fingerprint_ignores_dep_module_changes():
     own2, full2 = fps(changed_own)
     assert own0 == own1 and full0 != full1  # dep edit: full only
     assert own0 != own2 and full0 != full2  # own edit: both
+
+
+def test_paired_sql_constant_flips_own_fingerprint_only_for_owner():
+    """Registry-dict pairing: a query's own fingerprint covers exactly
+    ITS oracle SQL constant -- editing it flips the owner's own
+    fingerprint, while an unrelated query in the same module keeps its
+    own fingerprint (only its full fingerprint flips, tier 2)."""
+    mod = _MOD_SRC + '\nREG = {"alpha": (q_alpha, A_SQL)}\n'
+    changed = mod.replace("SELECT 1 AS a", "SELECT 2 AS a")
+
+    def fps(src, fn):
+        f = Fingerprinter(_reader(_files(mod_src=src)))
+        return (
+            f.query_own_fingerprint(_MOD, fn),
+            f.query_fingerprint(_MOD, fn),
+        )
+
+    own_a0, full_a0 = fps(mod, "q_alpha")
+    own_a1, full_a1 = fps(changed, "q_alpha")
+    assert own_a0 != own_a1 and full_a0 != full_a1  # owner: both flip
+
+    own_b0, full_b0 = fps(mod, "q_beta")
+    own_b1, full_b1 = fps(changed, "q_beta")
+    assert own_b0 == own_b1  # non-owner own fp untouched
+    assert full_b0 != full_b1  # but full fp conservatively flips
