@@ -140,3 +140,46 @@ def test_training_order_avoids_global_single_partition(spark, sf_small):
     for i in funnels:
         # child printed right below the exchange: must be the count agg
         assert "HashAggregate(keys=[pid" in lines[i + 1], lines[i + 1]
+
+
+#: queries whose plans legitimately contain BroadcastNestedLoopJoin:
+#: every one is a cross join against a SINGLE-ROW scalar aggregate
+#: (corpus count, grand total, supplier count...) -- a broadcast of one
+#: row, not a data-sized nested loop. The test below additionally
+#: requires the scalar-agg shape to actually be present in those plans.
+_SCALAR_CROSS_JOIN_OK = {
+    "funnel_view_click_purchase",
+    "similarity_ann_recall_contract",
+    "text_docfreq_quality",
+    "token_salience",
+    "tpch_q11_important_stock",
+    "tpch_q16_supplier_cnt",
+    "tpch_q20_excess_stock",
+    "tpch_q22_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+}
+
+
+def test_no_query_plans_a_scale_killer_join(spark, sf_small):
+    """Global audit across the ENTIRE registry: no CartesianProduct
+    anywhere, and BroadcastNestedLoopJoin only in the whitelisted
+    queries whose build side is a single-row scalar aggregate (the
+    plan must actually contain an ungrouped HashAggregate feeding it).
+    This is the 100 TB gate: any new query that accidentally plans an
+    all-pairs join fails here before it ever reaches the driver."""
+    offenders = {}
+    for name, (fn, _sql) in QUERIES.items():
+        plan = _physical(fn(spark, sf_small))
+        spark.catalog.clearCache()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+            continue
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        if not n_bnlj:
+            continue
+        if name not in _SCALAR_CROSS_JOIN_OK:
+            offenders[name] = f"unexpected BNLJ x{n_bnlj}"
+        elif "HashAggregate(keys=[]" not in plan:
+            offenders[name] = "BNLJ without a scalar-aggregate build"
+    assert not offenders, offenders
