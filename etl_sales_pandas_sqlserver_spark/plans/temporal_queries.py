@@ -443,7 +443,127 @@ def q_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 7. Time-series gap filling (resample-to-grid): hourly sums per event
+# type with EVERY hour of the type's own [min, max] span present --
+# missing hours emitted as explicit zero rows flagged gap_filled. The
+# dense grid is a per-type sequence()/explode bounded by the span (one
+# row per hour, never data-sized fan-out), left-joined to the sparse
+# aggregate on (type, hour). Money stays DECIMAL until one final cast;
+# the fill literal is integer zero, so both engines agree bitwise.
+# ---------------------------------------------------------------------------
+
+GAPFILL_SQL = f"""
+  WITH agg AS (
+    SELECT event_type,
+           epoch_us(ts) // {_HOUR_US} AS hour_bucket,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(28,6))) AS sum_value
+    FROM events GROUP BY 1, 2
+  ),
+  spans AS (
+    SELECT event_type, MIN(hour_bucket) AS lo, MAX(hour_bucket) AS hi
+    FROM agg GROUP BY 1
+  ),
+  grid AS (
+    SELECT event_type, UNNEST(range(lo, hi + 1)) AS hour_bucket FROM spans
+  )
+  SELECT g.event_type,
+         CAST(g.hour_bucket AS BIGINT) AS hour_bucket,
+         CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+         CAST(COALESCE(a.sum_value, 0) AS DOUBLE) AS total_value,
+         a.n_events IS NULL AS gap_filled
+  FROM grid g
+  LEFT JOIN agg a ON a.event_type = g.event_type
+                 AND a.hour_bucket = g.hour_bucket
+  ORDER BY 1, 2
+"""
+
+
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.withColumn("_eu", epoch_us(raw, "ts")).select(
+        "event_type",
+        F.expr(f"_eu div {_HOUR_US}").alias("hour_bucket"),
+        "value",
+    )
+    agg = ev.groupBy("event_type", "hour_bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+    )
+    grid = (
+        agg.groupBy("event_type")
+        .agg(F.min("hour_bucket").alias("lo"), F.max("hour_bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence("lo", "hi")).alias("hour_bucket"),
+        )
+    )
+    return (
+        grid.join(agg, ["event_type", "hour_bucket"], "left")
+        .select(
+            "event_type",
+            F.col("hour_bucket").cast("bigint").alias("hour_bucket"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(F.col("sum_value"), F.lit(0))
+            .cast("double")
+            .alias("total_value"),
+            F.col("n_events").isNull().alias("gap_filled"),
+        )
+        .orderBy("event_type", "hour_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. Weekly cohort retention: users grouped by first-activity week,
+# counted in each later week they return -- the standard product-
+# analytics retention matrix. Pure integer arithmetic end to end
+# (epoch-week keys, offsets, distinct-user counts). Scale: two
+# aggregates plus one join keyed on user_id; the first-week frame is
+# |users|-sized, so at production scale it hash-joins on the same key
+# the activity aggregate already shuffled on.
+# ---------------------------------------------------------------------------
+
+_WEEK_US = 7 * _DAY_US
+
+COHORT_RETENTION_SQL = f"""
+  WITH e AS (
+    SELECT user_id, epoch_us(ts) // {_WEEK_US} AS week FROM events
+  ),
+  firstw AS (SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1),
+  activity AS (SELECT DISTINCT user_id, week FROM e)
+  SELECT CAST(f.cohort_week AS BIGINT) AS cohort_week,
+         CAST(a.week - f.cohort_week AS BIGINT) AS week_offset,
+         CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM activity a JOIN firstw f ON f.user_id = a.user_id
+  GROUP BY 1, 2
+  ORDER BY 1, 2
+"""
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "events")
+    e = raw.withColumn("_eu", epoch_us(raw, "ts")).select(
+        "user_id", F.expr(f"_eu div {_WEEK_US}").alias("week")
+    )
+    firstw = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = e.distinct()
+    return (
+        activity.join(firstw, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("bigint").alias("cohort_week"),
+            (F.col("week") - F.col("cohort_week"))
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 TEMPORAL_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "timeseries_gapfill_hourly": (q_timeseries_gapfill, GAPFILL_SQL),
+    "cohort_retention_weekly": (q_cohort_retention, COHORT_RETENTION_SQL),
     "asof_join_clicks_purchases": (q_asof_join, ASOF_SQL),
     "asof_join_tolerance": (q_asof_join_tolerance, ASOF_TOLERANCE_SQL),
     "range_join_event_pairs": (q_range_join, RANGE_JOIN_SQL),
