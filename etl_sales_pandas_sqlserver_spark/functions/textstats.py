@@ -20,6 +20,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import managed_cache
 from ..sources.testdata import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -516,10 +517,12 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.split(F.trim(F.lower(F.col("text"))), _TOKEN_SPLIT).alias("w"),
     ).filter(F.size("w") >= _WINNOW_K)
-    # grams + hash + position encoding all inside the array: the
-    # explode below emits precomputed longs, keeping the per-token
-    # string work in one codegen'd pass per document
-    cmb = toks.select(
+    # grams + hash + position encoding all inside the array, and the
+    # frame CACHED before the explode: projection collapse would
+    # otherwise fold the transform into the generator and evaluate it
+    # interpreted (the round-5 explode-over-uncached-array cliff --
+    # measured here 4.1s -> 1.2s at sf0.1)
+    cmb = managed_cache(toks.select(
         "doc_id",
         F.expr(
             f"transform(sequence(1, size(w) - {_WINNOW_K} + 1),"
@@ -527,7 +530,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"md5(array_join(slice(w, i, {_WINNOW_K}), ' ')), 1, 10),"
             f" 16, 10) AS BIGINT) * {_POS_ENC} + ({_POS_ENC} - i))"
         ).alias("cs"),
-    )
+    ))
     ex = cmb.select("doc_id", F.explode("cs").alias("c")).withColumn(
         "p", F.lit(_POS_ENC - 1) - F.col("c") % F.lit(_POS_ENC)
     )
