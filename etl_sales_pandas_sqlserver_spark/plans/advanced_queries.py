@@ -670,7 +670,103 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Pearson correlation per segment (quantity vs price) via the MOMENTS
+# pattern: values are scaled to exact integer CENTS, the five moments
+# (sq, sp, sqq, spp, sqp) accumulate as exact integers (DECIMAL(38,0)
+# in Spark, HUGEINT in DuckDB -- both associative, so Spark's
+# nondeterministic partial-agg order cannot perturb them), and only
+# the final correlation formula runs in doubles, as one FIXED
+# expression tree both engines evaluate with the identical IEEE op
+# sequence (including correctly-rounded sqrt). Integer moments matter:
+# a first cut summed in DECIMAL(38,4) and hit a 1-ulp mismatch --
+# fractional-decimal -> double conversion is not correctly rounded the
+# same way in both engines (double-rounding via 10^-scale), while
+# integer -> double is. (corr is scale-invariant, so cents vs units
+# changes nothing semantically.) This is the portable alternative to
+# F.corr, whose streaming float accumulation is order-dependent and
+# would break the driver's value hash. Moments are mergeable: at
+# 100 TB this is a plain two-level hash aggregate, one shuffle.
+# ---------------------------------------------------------------------------
+
+CORR_SQL = """
+  WITH j AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+  ),
+  m AS (
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS DOUBLE) AS sq, CAST(SUM(p) AS DOUBLE) AS sp,
+           CAST(SUM(q * q) AS DOUBLE) AS sqq,
+           CAST(SUM(p * p) AS DOUBLE) AS spp,
+           CAST(SUM(q * p) AS DOUBLE) AS sqp
+    FROM j GROUP BY 1
+  )
+  SELECT segment, n,
+         (n * sqp - sq * sp)
+           / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))
+           AS corr_qty_price
+  FROM m
+  ORDER BY segment
+"""
+
+
+def q_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_quantity").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("q"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("p"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    m = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("q").cast("double").alias("sq"),
+            F.sum("p").cast("double").alias("sp"),
+            # products fit bigint (cents^2 <= ~1e14) but their SUM does
+            # not at scale: accumulate in DECIMAL(38,0), exact like
+            # DuckDB's HUGEINT, and integer->double converts correctly
+            # rounded in both engines
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sqq"),
+            F.sum((F.col("p") * F.col("p")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("spp"),
+            F.sum((F.col("q") * F.col("p")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias("sqp"),
+        )
+    )
+    n = F.col("n")
+    num = n * F.col("sqp") - F.col("sq") * F.col("sp")
+    den = F.sqrt(
+        (n * F.col("sqq") - F.col("sq") * F.col("sq"))
+        * (n * F.col("spp") - F.col("sp") * F.col("sp"))
+    )
+    return m.select(
+        "segment", "n", (num / den).alias("corr_qty_price")
+    ).orderBy("segment")
+
+
 ADVANCED_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "stats_corr_qty_price": (q_corr_moments, CORR_SQL),
     "tpch_q3_top_revenue": (q_tpch_q3, TPCH_Q3_SQL),
     "tpch_q6_forecast_revenue": (q_tpch_q6, TPCH_Q6_SQL),
     "set_intersect_custkeys": (q_intersect, INTERSECT_SQL),
