@@ -175,6 +175,49 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bag-semantics set ops: EXCEPT ALL / INTERSECT ALL keep MULTIPLICITY
+# (a custkey with 5 open and 2 fulfilled orders contributes 3 rows to
+# the difference and 2 to the intersection), which the distinct
+# variants above deliberately discard. Spark plans these as a
+# count-per-key aggregate + generate (replicate min/surplus), one
+# shuffle per side -- no row-identity tracking needed at any scale.
+# ---------------------------------------------------------------------------
+
+EXCEPT_ALL_SQL = """
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  ORDER BY custkey
+"""
+
+INTERSECT_ALL_SQL = """
+  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  ORDER BY custkey
+"""
+
+
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset surplus of open-order custkey occurrences over
+    fulfilled ones."""
+    return (
+        _status_custkeys(spark, sf_dir, "O")
+        .exceptAll(_status_custkeys(spark, sf_dir, "F"))
+        .orderBy("custkey")
+    )
+
+
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key minimum multiplicity of open vs fulfilled occurrences."""
+    return (
+        _status_custkeys(spark, sf_dir, "O")
+        .intersectAll(_status_custkeys(spark, sf_dir, "F"))
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Discrete percentiles, hand-rolled: rank-based selection is exact and
 # engine-portable (native percentile fns differ in interpolation rules).
 # ---------------------------------------------------------------------------
@@ -771,6 +814,8 @@ ADVANCED_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "tpch_q6_forecast_revenue": (q_tpch_q6, TPCH_Q6_SQL),
     "set_intersect_custkeys": (q_intersect, INTERSECT_SQL),
     "set_except_custkeys": (q_except, EXCEPT_SQL),
+    "set_except_all_custkeys": (q_except_all, EXCEPT_ALL_SQL),
+    "set_intersect_all_custkeys": (q_intersect_all, INTERSECT_ALL_SQL),
     "percentiles_by_segment": (q_percentiles, PERCENTILES_SQL),
     "string_agg_nations": (q_string_agg, STRING_AGG_SQL),
     "window_event_deltas": (q_window_deltas, WINDOW_DELTAS_SQL),
