@@ -779,6 +779,108 @@ def _dot(a, b):
     )
 
 
+# ---------------------------------------------------------------------------
+# 2c. SEMANTIC decontamination: the embedding-space counterpart of the
+# n-gram variants above -- a train document whose embedding is too
+# close (cosine) to an eval/benchmark document is a paraphrase-level
+# leak that shingle overlap can miss entirely. Output is the flagged
+# (train, eval, cosine) pair list.
+#
+# Scale shape: the eval side is bounded by construction (a benchmark
+# suite, not a corpus), so it REPLICATES -- each train block receives
+# the full eval set through one grouped shuffle (replication cost =
+# NB x |eval|, tunable to the cluster), and each group runs ONE
+# vectorized kernel. No driver collect, no all-pairs shuffle. The
+# kernel accumulates dot products in strict index order
+# (similarity._seq_matmul), so the emitted cosine is bitwise identical
+# to the oracle's list_reduce fold -- the full pair table hash-checks,
+# not just booleans. (The testdata has no zero-norm vectors, verified
+# across sf0.001-0.1, so the unguarded division matches the oracle's.)
+# The vec_id % 10 eval split mirrors DECONTAMINATE_SQL; in production
+# the eval side is its own table.
+# ---------------------------------------------------------------------------
+
+DECONTAMINATE_SEMANTIC_SQL = f"""
+  WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+    FROM embeddings
+  ),
+  n AS (
+    SELECT vec_id, v, sqrt({_DOT_DUCK.format(a="v", b="v")}) AS nrm
+    FROM e
+  ),
+  t AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+  ev AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+  scored AS (
+    SELECT t.vec_id AS train_id, ev.vec_id AS eval_id,
+           {_DOT_DUCK.format(a="t.v", b="ev.v")} / (t.nrm * ev.nrm)
+             AS cosine
+    FROM t JOIN ev ON TRUE
+  )
+  SELECT train_id, eval_id, cosine
+  FROM scored WHERE cosine >= {_COSINE_THRESHOLD}
+  ORDER BY train_id, eval_id
+"""
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .similarity import _seq_matmul, _seq_norms
+
+    nb = _COSINE_GRID_BLOCKS
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    train = vecs.filter(F.col("vec_id") % 10 != 0).select(
+        "vec_id", "v", (F.col("vec_id") % nb).alias("blk"), F.lit(0).alias("role")
+    )
+    ev = vecs.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id",
+        "v",
+        F.explode(F.array(*[F.lit(i) for i in range(nb)])).alias("blk"),
+        F.lit(1).alias("role"),
+    )
+    both = train.unionByName(ev)
+
+    schema = T.StructType(
+        [
+            T.StructField("train_id", T.LongType()),
+            T.StructField("eval_id", T.LongType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def block(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        tr = pdf[pdf["role"] == 0]
+        evl = pdf[pdf["role"] == 1]
+        if len(tr) == 0 or len(evl) == 0:
+            return pd.DataFrame({"train_id": [], "eval_id": [], "cosine": []})
+        tm = np.stack(tr["v"].to_numpy()).astype(np.float64)
+        em = np.stack(evl["v"].to_numpy()).astype(np.float64)
+        # oracle arithmetic exactly: dot / (nrm_t * nrm_e), fold order
+        cos = _seq_matmul(tm, em) / (
+            _seq_norms(tm)[:, None] * _seq_norms(em)[None, :]
+        )
+        ti, ei = np.nonzero(cos >= _COSINE_THRESHOLD)
+        return pd.DataFrame(
+            {
+                "train_id": tr["vec_id"].to_numpy()[ti],
+                "eval_id": evl["vec_id"].to_numpy()[ei],
+                "cosine": cos[ti, ei],
+            }
+        )
+
+    return (
+        both.groupBy("blk")
+        .applyInPandas(block, schema=schema)
+        .orderBy("train_id", "eval_id")
+    )
+
+
 _COSINE_GRID_BLOCKS = 8  # NB*(NB+1)/2 = 36 independent tasks locally
 
 
@@ -1111,4 +1213,8 @@ QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "dedup_clusters": (q_dedup_clusters, CLUSTER_COMPONENTS_SQL),
     "dedup_decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "dedup_decontaminate_bloom": (q_decontaminate_bloom, DECONTAMINATE_BLOOM_SQL),
+    "dedup_decontaminate_semantic": (
+        q_decontaminate_semantic,
+        DECONTAMINATE_SEMANTIC_SQL,
+    ),
 }

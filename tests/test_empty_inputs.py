@@ -50,6 +50,7 @@ _REPRESENTATIVES = [
     "text_winnow_fingerprints",
     "text_docfreq_quality",
     "stream_session_window_native",
+    "dedup_decontaminate_semantic",
 ]
 
 
