@@ -172,6 +172,88 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 1b. INCREMENTAL near-dup dedup -- the daily-ingest shape: a new batch
+# of documents is deduplicated against the existing corpus WITHOUT an
+# all-pairs rescan. Near-dup edges come from the MinHash-LSH path (so
+# the recurring cost is |batch| signatures + banded joins against the
+# corpus band index, linear in batch size); each batch doc classifies:
+#   dup_of_corpus : near-duplicates some existing-corpus document --
+#                   drop, the corpus already has this content;
+#   dup_in_batch  : near-duplicates only LOWER-id batch docs
+#                   (keep-first within the day's arrivals);
+#   novel         : no near-dup anywhere.
+# The doc_id % 7 split stands in for the batch/corpus partition; the
+# oracle replays the classification over the exact all-pairs Jaccard
+# edges, which the minhash oracle already proves equals the verified
+# LSH pair set on this data -- so a green row checks the incremental
+# path end to end against ground truth.
+# ---------------------------------------------------------------------------
+
+INCREMENTAL_DEDUP_SQL = f"""
+  WITH {_SHINGLES_CTE},
+  pairs AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= {_JACCARD_THRESHOLD}
+  ),
+  und AS (
+    SELECT a_id AS x, b_id AS y FROM pairs
+    UNION ALL
+    SELECT b_id AS x, a_id AS y FROM pairs
+  ),
+  flags AS (
+    SELECT x AS doc_id,
+           MAX(CASE WHEN y % 7 <> 0 THEN 1 ELSE 0 END) AS has_corpus,
+           MAX(CASE WHEN y % 7 = 0 AND y < x THEN 1 ELSE 0 END)
+             AS has_lower_batch
+    FROM und WHERE x % 7 = 0 GROUP BY 1
+  )
+  SELECT d.doc_id,
+         CASE WHEN f.has_corpus = 1 THEN 'dup_of_corpus'
+              WHEN f.has_lower_batch = 1 THEN 'dup_in_batch'
+              ELSE 'novel' END AS status
+  FROM documents d
+  LEFT JOIN flags f ON f.doc_id = d.doc_id
+  WHERE d.doc_id % 7 = 0
+  ORDER BY d.doc_id
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    und = pairs.select(
+        F.col("a_id").alias("x"), F.col("b_id").alias("y")
+    ).unionByName(pairs.select(F.col("b_id").alias("x"), F.col("a_id").alias("y")))
+    flags = (
+        und.filter(F.col("x") % 7 == 0)
+        .groupBy(F.col("x").alias("doc_id"))
+        .agg(
+            F.max((F.col("y") % 7 != 0).cast("int")).alias("has_corpus"),
+            F.max(
+                ((F.col("y") % 7 == 0) & (F.col("y") < F.col("x"))).cast("int")
+            ).alias("has_lower_batch"),
+        )
+    )
+    batch = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 7 == 0)
+    )
+    status = (
+        F.when(F.col("has_corpus") == 1, "dup_of_corpus")
+        .when(F.col("has_lower_batch") == 1, "dup_in_batch")
+        .otherwise("novel")
+    )
+    return (
+        batch.join(flags, "doc_id", "left")
+        .select("doc_id", status.alias("status"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 2. Exact n-gram Jaccard pairs via inverted shingle index.
 # ---------------------------------------------------------------------------
 
@@ -1213,6 +1295,7 @@ QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "dedup_clusters": (q_dedup_clusters, CLUSTER_COMPONENTS_SQL),
     "dedup_decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "dedup_decontaminate_bloom": (q_decontaminate_bloom, DECONTAMINATE_BLOOM_SQL),
+    "dedup_incremental_batch": (q_incremental_dedup, INCREMENTAL_DEDUP_SQL),
     "dedup_decontaminate_semantic": (
         q_decontaminate_semantic,
         DECONTAMINATE_SEMANTIC_SQL,
