@@ -129,3 +129,63 @@ def test_percentile_contract_holds(spark, sf_small):
         assert r.n_rows > 0
         for tag in ("p25_ok", "p50_ok", "p90_ok"):
             assert r[tag], f"{r.mktsegment}: {tag} contract violated"
+
+
+def test_gapfill_grid_is_dense_and_zero_filled(spark, sf_small):
+    """Per event type the hourly grid must be contiguous (hi-lo+1 rows)
+    and every gap row must be exactly zero."""
+    from pyspark.sql import functions as F
+
+    from etl_sales_pandas_sqlserver_spark.plans.temporal_queries import (
+        q_timeseries_gapfill,
+    )
+
+    df = q_timeseries_gapfill(spark, sf_small)
+    spans = (
+        df.groupBy("event_type")
+        .agg(
+            F.min("hour_bucket").alias("lo"),
+            F.max("hour_bucket").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    assert spans
+    for r in spans:
+        assert r["n"] == r["hi"] - r["lo"] + 1, r["event_type"]
+    bad = df.filter(
+        F.col("gap_filled")
+        & ((F.col("n_events") != 0) | (F.col("total_value") != 0.0))
+    ).count()
+    assert bad == 0
+
+
+def test_cohort_offset_zero_counts_whole_cohort(spark, sf_small):
+    """Every user is active in their own first week, so the offset-0
+    row of each cohort must count the cohort's full population."""
+    from pyspark.sql import functions as F
+
+    from etl_sales_pandas_sqlserver_spark.plans.temporal_queries import (
+        _WEEK_US,
+        q_cohort_retention,
+    )
+    from etl_sales_pandas_sqlserver_spark.operators.dates import epoch_us
+    from etl_sales_pandas_sqlserver_spark.sources.testdata import load_table
+
+    ret = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in q_cohort_retention(spark, sf_small).collect()
+    }
+    raw = load_table(spark, sf_small, "events")
+    first = (
+        raw.withColumn("_eu", epoch_us(raw, "ts"))
+        .select("user_id", F.expr(f"_eu div {_WEEK_US}").alias("week"))
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cw"))
+        .groupBy("cw")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert first
+    for r in first:
+        assert ret.get((r["cw"], 0)) == r["n"], r["cw"]

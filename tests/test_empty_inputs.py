@@ -51,6 +51,11 @@ _REPRESENTATIVES = [
     "text_docfreq_quality",
     "stream_session_window_native",
     "dedup_decontaminate_semantic",
+    "dedup_incremental_batch",
+    "timeseries_gapfill_hourly",
+    "cohort_retention_weekly",
+    "stats_corr_qty_price",
+    "set_except_all_custkeys",
 ]
 
 
