@@ -292,7 +292,106 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# Audio chunking: fixed-size non-overlapping byte windows per audio
+# payload (the segmentation step before feature extraction / ASR), one
+# row per chunk with exact integer byte stats. Real audio decode stays
+# behind the gated stub (resample_audio); the Spark-side plumbing --
+# binary column in, Arrow batches, np.add/maximum.reduceat over the
+# flat buffer with chunk boundaries, one row per chunk out -- is the
+# production shape. The oracle replays byte-exactly from the text side
+# (payloads are UTF-8 of ASCII text, so byte i == ascii(char i)).
+# ---------------------------------------------------------------------------
+
+_AUDIO_CHUNK_BYTES = 200
+
+_AUDIO_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_idx", T.LongType()),
+        T.StructField("start_byte", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("max_byte", T.LongType()),
+    ]
+)
+
+AUDIO_CHUNKS_SQL = f"""
+  WITH a AS (
+    SELECT doc_id, text, length(text) AS n
+    FROM documents WHERE doc_id % 3 = 1
+  ),
+  c AS (
+    SELECT doc_id, text, n,
+           UNNEST(range(0, (n + {_AUDIO_CHUNK_BYTES - 1})
+                           // {_AUDIO_CHUNK_BYTES})) AS i
+    FROM a
+  )
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS chunk_idx,
+         CAST(i * {_AUDIO_CHUNK_BYTES} AS BIGINT) AS start_byte,
+         CAST(LEAST({_AUDIO_CHUNK_BYTES},
+                    n - i * {_AUDIO_CHUNK_BYTES}) AS BIGINT) AS n_bytes,
+         CAST(list_sum(list_transform(
+                range(i * {_AUDIO_CHUNK_BYTES} + 1,
+                      i * {_AUDIO_CHUNK_BYTES} + 1
+                      + LEAST({_AUDIO_CHUNK_BYTES}, n - i * {_AUDIO_CHUNK_BYTES})),
+                j -> ascii(substr(text, j, 1)))) AS BIGINT) AS byte_sum,
+         CAST(list_max(list_transform(
+                range(i * {_AUDIO_CHUNK_BYTES} + 1,
+                      i * {_AUDIO_CHUNK_BYTES} + 1
+                      + LEAST({_AUDIO_CHUNK_BYTES}, n - i * {_AUDIO_CHUNK_BYTES})),
+                j -> ascii(substr(text, j, 1)))) AS BIGINT) AS max_byte
+  FROM c
+  ORDER BY doc_id, chunk_idx
+"""
+
+
+def _audio_chunk_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        cols: dict[str, list] = {k: [] for k in (
+            "doc_id", "chunk_idx", "start_byte", "n_bytes", "byte_sum", "max_byte"
+        )}
+        for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            if n == 0:
+                continue
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            bounds = np.arange(0, n, _AUDIO_CHUNK_BYTES, dtype=np.int64)
+            k = len(bounds)
+            lens = np.full(k, _AUDIO_CHUNK_BYTES, dtype=np.int64)
+            lens[-1] = n - bounds[-1]
+            cols["doc_id"].append(np.full(k, did, dtype=np.int64))
+            cols["chunk_idx"].append(np.arange(k, dtype=np.int64))
+            cols["start_byte"].append(bounds)
+            cols["n_bytes"].append(lens)
+            cols["byte_sum"].append(
+                np.add.reduceat(arr.astype(np.int64), bounds)
+            )
+            cols["max_byte"].append(
+                np.maximum.reduceat(arr, bounds).astype(np.int64)
+            )
+        if not cols["doc_id"]:
+            continue
+        yield pd.DataFrame({k: np.concatenate(v) for k, v in cols.items()})
+
+
+def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    audio = with_binary_payload(docs.select("doc_id", "source", "text")).filter(
+        F.col("modality") == "audio"
+    )
+    return (
+        audio.select("doc_id", "payload")
+        .mapInPandas(_audio_chunk_kernel, schema=_AUDIO_CHUNK_SCHEMA)
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "multimodal_binary_features": (q_binary_features, BINARY_FEATURES_SQL),
     "multimodal_frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
+    "multimodal_audio_chunks": (q_audio_chunks, AUDIO_CHUNKS_SQL),
 }

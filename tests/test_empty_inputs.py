@@ -56,6 +56,7 @@ _REPRESENTATIVES = [
     "cohort_retention_weekly",
     "stats_corr_qty_price",
     "set_except_all_custkeys",
+    "multimodal_audio_chunks",
 ]
 
 
