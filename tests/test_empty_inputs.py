@@ -57,6 +57,7 @@ _REPRESENTATIVES = [
     "stats_corr_qty_price",
     "set_except_all_custkeys",
     "multimodal_audio_chunks",
+    "fuzzy_join_customer_names",
 ]
 
 
