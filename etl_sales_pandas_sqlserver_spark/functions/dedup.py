@@ -1285,6 +1285,72 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Triangle census of the near-dup graph: how much of the duplicate
+# structure is mutually-confirming (a~b, b~c, a~c all verified) vs
+# chain-like -- a standard graph-quality signal for dedup output
+# (near-dup clusters from genuine templates are near-cliques; sparse
+# chains suggest threshold borderliners). Spark shape: the canonical
+# a<b<c ordered 3-way self-join -- each triangle counted exactly once,
+# join keys are node ids so at scale both joins hash-partition on the
+# shared endpoint; no enumeration of wedges beyond the join. Output is
+# per-cluster triangle counts (cluster = connected component), so the
+# whole table hash-verifies.
+# ---------------------------------------------------------------------------
+
+TRIANGLE_CENSUS_SQL = """
+  WITH RECURSIVE {shingles},
+  pairs AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= {thr}
+  ),
+  tri AS (
+    SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.a_id = e1.b_id
+    JOIN pairs e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+  ),
+  und AS (
+    SELECT a_id AS s, b_id AS d FROM pairs
+    UNION ALL
+    SELECT b_id AS s, a_id AS d FROM pairs
+  ),
+  walk(node, reach) AS (
+    SELECT s, d FROM und
+    UNION
+    SELECT w.node, e.d FROM walk w JOIN und e ON e.s = w.reach
+  ),
+  comp AS (
+    SELECT node AS x, LEAST(node, MIN(reach)) AS cluster_id
+    FROM walk GROUP BY node
+  )
+  SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM tri t JOIN comp c ON c.x = t.a
+  GROUP BY 1
+  ORDER BY 1
+""".format(shingles=_SHINGLES_CTE, thr=_JACCARD_THRESHOLD)
+
+
+def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    e1 = pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
+    e2 = pairs.select(F.col("a_id").alias("b"), F.col("b_id").alias("c"))
+    e3 = pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
+    clusters = cluster_components(pairs).select(
+        F.col("doc_id").alias("a"), "cluster_id"
+    )
+    return (
+        tri.join(clusters, "a")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("cluster_id")
+    )
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "dedup_exact": (q_exact_dedup, EXACT_DEDUP_SQL),
     "dedup_repeated_spans": (q_repeated_spans, REPEATED_SPANS_SQL),
@@ -1296,6 +1362,7 @@ QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "dedup_decontaminate": (q_decontaminate, DECONTAMINATE_SQL),
     "dedup_decontaminate_bloom": (q_decontaminate_bloom, DECONTAMINATE_BLOOM_SQL),
     "dedup_incremental_batch": (q_incremental_dedup, INCREMENTAL_DEDUP_SQL),
+    "dedup_triangle_census": (q_triangle_census, TRIANGLE_CENSUS_SQL),
     "dedup_decontaminate_semantic": (
         q_decontaminate_semantic,
         DECONTAMINATE_SEMANTIC_SQL,

@@ -58,6 +58,7 @@ _REPRESENTATIVES = [
     "set_except_all_custkeys",
     "multimodal_audio_chunks",
     "fuzzy_join_customer_names",
+    "dedup_triangle_census",
 ]
 
 
