@@ -78,3 +78,44 @@ def read_csv(
     if date_col is not None:
         df = df.withColumn(date_col, F.try_to_timestamp(F.col(date_col), F.lit(date_format)))
     return df
+
+
+def read_csv_with_bad_records(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> "tuple[DataFrame, DataFrame]":
+    """Production-grade malformed-row handling for CSV ingest: returns
+    ``(good, bad)`` where ``good`` holds rows that parsed cleanly under
+    the declared schema and ``bad`` holds the raw text of every row
+    that did not (type mismatch, wrong column count). PERMISSIVE mode +
+    a corrupt-record capture column -- the bad rows are quarantined for
+    inspection instead of silently nulled (the reference swallows the
+    whole FILE into an empty frame on any error, etl_utils.py:100-105;
+    row-level quarantine is the behavior a 10^5-file ingest needs,
+    since one bad row must not discard a split).
+
+    Spark disallows queries that reference ONLY the corrupt column
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
+    documented workaround is to cache the parsed frame first, which
+    also means the file parses once for both outputs. The cache is
+    registered with managed_cache, so the next cache-using query
+    releases it."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    from ..cache import managed_cache
+
+    df = managed_cache(
+        spark.read.option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .csv(path)
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_record")
+    )
+    return good, bad

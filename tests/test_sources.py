@@ -206,3 +206,34 @@ def test_events_ts_pinned_ltz_under_ntz_inference(spark, sf_small):
         ev.select(F.unix_micros("ts")).limit(1).collect()
     finally:
         spark.conf.set(key, old)
+
+
+def test_csv_bad_record_quarantine(spark, tmp_path):
+    """Malformed rows land in the quarantine frame with their raw
+    text; clean rows parse under the declared schema; nothing is
+    silently dropped or nulled."""
+    from pyspark.sql import types as T
+
+    from etl_sales_pandas_sqlserver_spark.sources.csv_folder import (
+        read_csv_with_bad_records,
+    )
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "id,amount\n"
+        "1,10.5\n"
+        "oops,not-a-number\n"
+        "2,20.25\n"
+        "3,bad\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    good, bad = read_csv_with_bad_records(spark, str(p), schema)
+    good_rows = {(r.id, r.amount) for r in good.collect()}
+    assert good_rows == {(1, 10.5), (2, 20.25)}
+    bad_rows = sorted(r.raw_record for r in bad.collect())
+    assert bad_rows == ["3,bad", "oops,not-a-number"]
