@@ -1335,7 +1335,15 @@ TRIANGLE_CENSUS_SQL = """
 
 
 def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("a_id", "b_id")
+    # materialize the pair list ONCE: three triangle join legs plus the
+    # clustering pass would otherwise re-run the full minhash pipeline
+    # four times (measured 7.0s -> the checkpoint drops it to the cost
+    # of one minhash run + tiny joins)
+    pairs = (
+        q_minhash_lsh_pairs(spark, sf_dir)
+        .select("a_id", "b_id")
+        .localCheckpoint(eager=True)
+    )
     e1 = pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("b"))
     e2 = pairs.select(F.col("a_id").alias("b"), F.col("b_id").alias("c"))
     e3 = pairs.select(F.col("a_id").alias("a"), F.col("b_id").alias("c"))
