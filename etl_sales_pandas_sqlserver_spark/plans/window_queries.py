@@ -197,7 +197,44 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Relative-standing window functions: percent_rank (rank position
+# scaled to [0,1]) and cume_dist (fraction of peers at-or-below) of
+# each customer's account balance within its market segment -- the
+# standard "where does this entity sit in its cohort" analytics shape.
+# Both are single IEEE divisions on identical integer operands
+# ((rank-1)/(n-1) and peers_le/n), so the doubles match bitwise across
+# engines. One shuffle: the window partition.
+# ---------------------------------------------------------------------------
+
+RELATIVE_STANDING_SQL = """
+  SELECT c_custkey,
+         c_mktsegment AS segment,
+         CAST(c_acctbal AS DOUBLE) AS acctbal,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume_dist
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+  ORDER BY c_custkey
+"""
+
+
+def q_relative_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    # total order inside the frame (acctbal ties broken by key) so both
+    # engines rank identical sequences
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    ).orderBy("c_custkey")
+
+
 WINDOW_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "window_relative_standing": (q_relative_standing, RELATIVE_STANDING_SQL),
     "window_moving_avg_7": (q_moving_avg, MOVING_AVG_SQL),
     "window_range_1h_load": (q_range_1h, RANGE_1H_SQL),
     "window_first_last_touch": (q_first_last, FIRST_LAST_SQL),
