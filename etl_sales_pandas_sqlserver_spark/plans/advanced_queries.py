@@ -67,10 +67,11 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = lineitem.filter(
         F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
     ).select("l_orderkey", "l_extendedprice", "l_discount")
-    # selective dims joined first; the filtered customer set is small ->
-    # broadcast so the orders scan never shuffles on custkey
+    # selective filter joined first; the BUILDING segment still scales
+    # with the corpus, so no forced broadcast -- the planner broadcasts
+    # it while it fits and shuffles on custkey at scale.
     rev = (
-        ords.join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        ords.join(cust, ords.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == ords.o_orderkey)
         .groupBy(
             F.col("o_orderkey").alias("orderkey"),
@@ -865,9 +866,14 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("b_custkey"), F.col("c_name").alias("b_name")
     )
     dist = F.levenshtein("a_name", "b_name")
+    # No broadcast hint on the name lookups: customer grows with the
+    # corpus, so a forced broadcast would OOM at 100x and override
+    # AQE's size-based choice. AQE broadcasts it when it fits (it does
+    # at every test SF); at scale this becomes a shuffle join keyed on
+    # custkey, which is the right plan for an unbounded table.
     return (
-        cand.join(F.broadcast(na), "a_custkey")
-        .join(F.broadcast(nb), "b_custkey")
+        cand.join(na, "a_custkey")
+        .join(nb, "b_custkey")
         .filter(dist <= 1)
         .select(
             "a_custkey",

@@ -171,14 +171,22 @@ def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CUSTOMERS_WITHOUT_ORDERS_SQL = """
   SELECT c_custkey AS custkey, c_name AS name
   FROM customer c
-  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F')
   ORDER BY 1
 """
 
 
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no FINISHED order. The status filter keeps the
+    anti-join result non-empty at every test SF (every customer has
+    *some* order in the synthetic data, so an unfiltered anti-join
+    would be vacuously green on 0 rows)."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))

@@ -125,8 +125,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.o_custkey == customer.c_custkey,
         )
         .join(li, li.l_orderkey == orders.o_orderkey)
+        # supplier scales with SF -- no forced broadcast; the planner
+        # broadcasts it while small and falls back to a shuffle join at
+        # scale instead of OOMing on an overridden hint.
         .join(
-            F.broadcast(supplier),
+            supplier,
             (supplier.s_suppkey == li.l_suppkey)
             & (supplier.s_nationkey == customer.c_nationkey),
         )

@@ -293,7 +293,9 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("s_suppkey").alias("ps_suppkey"))
     return (
         ps.join(part, ps.ps_partkey == part.p_partkey)
-        .join(F.broadcast(flagged), ["ps_suppkey"], "left_anti")
+        # flagged scales with the supplier count -- size-based planning,
+        # no forced broadcast hint
+        .join(flagged, ["ps_suppkey"], "left_anti")
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_type").alias("type"),

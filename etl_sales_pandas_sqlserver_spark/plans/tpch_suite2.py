@@ -90,7 +90,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     j = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
@@ -116,7 +116,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q8 analog: market share of NATION_3 suppliers within REGION_0
+# Q8 analog: market share of NATION_3 suppliers within ASIA
 # customers, for ECONOMY parts, by order year. share = national
 # volume / total volume, both DECIMAL-accumulated then ONE double
 # division. Plan: part filter broadcasts (small after `ECONOMY`
@@ -143,7 +143,7 @@ TPCH_Q8_SQL = """
     JOIN region r   ON r.r_regionkey = n1.n_regionkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
     JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
-    WHERE r.r_name = 'REGION_0' AND p.p_type = 'ECONOMY'
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
   ) allv
   GROUP BY o_year
   ORDER BY o_year
@@ -158,7 +158,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region").filter(
-        F.col("r_name") == "REGION_0"
+        F.col("r_name") == "ASIA"
     )
     n1 = nation.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_reg")
@@ -172,7 +172,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(region), F.col("n1_reg") == F.col("r_regionkey"))
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
     )
     vol = _volume()
@@ -328,7 +328,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(top),
             revenue.total_revenue == F.col("max_revenue"),
         )
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("supp_name"),
@@ -381,7 +381,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_threshold")
     )
     j = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(thresholds, li.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
     )
@@ -432,8 +432,10 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     j = (
+        # big scales linearly with orders -- no forced broadcast; the
+        # semi-join shuffles on orderkey at scale.
         orders.join(
-            F.broadcast(big),
+            big,
             orders.o_orderkey == F.col("big_orderkey"),
             "left_semi",
         )
@@ -483,7 +485,7 @@ TPCH_Q19_SQL = """
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     qty = F.col("l_quantity")
     size = F.col("p_size")
     brand = F.col("p_brand")
@@ -571,7 +573,7 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     return (
-        only_late.join(F.broadcast(supp), only_late.l_suppkey == supp.s_suppkey)
+        only_late.join(supp, only_late.l_suppkey == supp.s_suppkey)
         .groupBy(F.col("s_name").alias("supp_name"))
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "supp_name")

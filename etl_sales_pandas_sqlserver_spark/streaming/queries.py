@@ -361,8 +361,11 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
+    # customer scales with the corpus: no forced broadcast on the
+    # stream-static join (the planner broadcasts it while small); the
+    # 25-row nation dim keeps its hint.
     joined = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        cust, orders.o_custkey == cust.c_custkey
     ).join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     agg = joined.groupBy(F.col("n_name").alias("nation_name")).agg(
         F.count(F.lit(1)).alias("n_orders"),

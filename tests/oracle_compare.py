@@ -15,13 +15,24 @@ import pandas as pd
 from etl_sales_pandas_sqlserver_spark.schemas import TESTDATA_TABLES
 
 
+_CONNS: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
+def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Shared per-SF DuckDB connection with the testdata views mounted."""
+    con = _CONNS.get(sf_dir)
+    if con is None:
+        con = duckdb.connect()
+        for name in TESTDATA_TABLES:
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+            )
+        _CONNS[sf_dir] = con
+    return con
+
+
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for name in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
-        )
-    return con.execute(sql).df()
+    return oracle_connection(sf_dir).execute(sql).df()
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:

@@ -183,3 +183,70 @@ def test_no_query_plans_a_scale_killer_join(spark, sf_small):
         elif "HashAggregate(keys=[]" not in plan:
             offenders[name] = "BNLJ without a scalar-aggregate build"
     assert not offenders, offenders
+
+
+# ---------------------------------------------------------------------------
+# Round-7 broadcast-hint audit (verdict #3). A forced F.broadcast() on a
+# table that grows with the corpus overrides AQE's size-based choice and
+# becomes an OOM at 100x (the round-6 fuzzy join broadcast the full
+# customer name table). Audit outcome: hints are allowed ONLY on
+#   - fixed-size dimensions (region=5 rows, nation=25 rows, and their
+#     n1/n2 renames),
+#   - provably bounded intermediates (single-row scalar aggregates,
+#     per-segment stats over a fixed segment domain, per-partition
+#     offset tables, the <=64 KiB bloom bitmap, the capped ANN
+#     query-batch pairs).
+# Everything corpus-sized (supplier, part, customer, filtered-orders
+# sets, candidate-pair name lookups) had its hint REMOVED in round 7 --
+# the planner still broadcasts those while small, and falls back to a
+# shuffle join at scale instead of dying on the hint.
+# This test enforces the audit: any new F.broadcast(<name>) site must be
+# added to the allowlist below WITH a boundedness argument in review.
+# ---------------------------------------------------------------------------
+
+_BROADCAST_ALLOWED_NAMES = {
+    # fixed-size dims
+    "nation", "region", "n1", "n2",
+    # single-row scalar aggregates (crossJoin'ed or 1-row-joined)
+    "total", "avg_bal", "top", "n", "n_docs", "n_exact_df", "scnt",
+    # bounded-by-construction intermediates
+    "stats",      # one row per mktsegment (fixed 5-value domain)
+    "targets",    # one row per (mktsegment, bucket), bucket domain fixed
+    "sketch",     # one percentile sketch row per mktsegment
+    "offsets",    # one row per shuffle partition (config-bounded)
+    "exact",      # exact top-k pairs for the capped 8-query ANN batch
+}
+
+
+def test_broadcast_hints_only_on_bounded_builds():
+    import ast
+    import pathlib
+
+    import etl_sales_pandas_sqlserver_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    violations = []
+    for path in sorted(root.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "F"
+            ):
+                continue
+            arg = node.args[0]
+            if isinstance(arg, ast.Name):
+                if arg.id not in _BROADCAST_ALLOWED_NAMES:
+                    violations.append(f"{path.name}:{node.lineno} F.broadcast({arg.id})")
+            elif not (
+                # the bloom build wraps an inline select of a 1-row agg
+                isinstance(arg, ast.Call)
+            ):
+                violations.append(f"{path.name}:{node.lineno} F.broadcast(<non-name>)")
+    assert not violations, (
+        "unaudited F.broadcast hint(s) -- prove the build side is bounded "
+        f"and extend the allowlist: {violations}"
+    )
