@@ -182,28 +182,37 @@ def main() -> None:
         import subprocess
 
         repo = os.path.dirname(os.path.abspath(__file__))
-        proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.join(repo, "tests", "perf_isolated.py"),
-                ",".join(suspicious),
-                "5",
-            ],
-            capture_output=True,
-            text=True,
-            cwd=repo,
-            timeout=1800,
-        )
-        for line in proc.stdout.splitlines():
-            try:
-                isolated.update(json.loads(line))
-            except json.JSONDecodeError:
-                continue
-        if proc.returncode != 0 and not isolated:
-            print(
-                f"bench: isolated re-run failed: {proc.stderr[-500:]}",
-                file=sys.stderr,
+        # a hung isolated re-run must not lose the whole round's
+        # timings: swallow the timeout/launch failure and fall through
+        # with whatever (possibly no) isolated medians we have, so the
+        # summary print and the BENCH_DETAIL write always happen.
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.join(repo, "tests", "perf_isolated.py"),
+                    ",".join(suspicious),
+                    "5",
+                ],
+                capture_output=True,
+                text=True,
+                cwd=repo,
+                timeout=1800,
             )
+        except (subprocess.TimeoutExpired, OSError) as exc:
+            print(f"bench: isolated re-run aborted: {exc}", file=sys.stderr)
+            proc = None
+        if proc is not None:
+            for line in proc.stdout.splitlines():
+                try:
+                    isolated.update(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+            if proc.returncode != 0 and not isolated:
+                print(
+                    f"bench: isolated re-run failed: {proc.stderr[-500:]}",
+                    file=sys.stderr,
+                )
 
     total = round(sum(timings.values()), 3)
     summary = {

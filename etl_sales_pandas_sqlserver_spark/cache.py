@@ -17,10 +17,17 @@ cache-creating query is constructed the prior query's execution is
 over and its cache is dead weight.
 
 A query that needs SEVERAL caches must register them in one call
-(``managed_cache(a, b)``) -- a second call would release the first.
+(``managed_cache(a, b)``) or pass ``extend=True`` on later calls --
+a plain second call releases the first (round-7 advice: a composite
+plan built from two cache-using sub-queries would otherwise silently
+lose the first sub-query's cache at construction time and recompute
+it at execution).
 If an already-constructed query is re-executed after another query was
 constructed, it simply recomputes without the cache: correctness never
-depends on a cache being present.
+depends on a cache being present. Code whose RESULT validity depends
+on a live cache (e.g. corrupt-record-column scans) must NOT register
+here -- materialize via localCheckpoint instead (see
+sources/csv_folder.read_csv_with_bad_records).
 """
 
 from __future__ import annotations
@@ -30,11 +37,16 @@ from pyspark.sql import DataFrame
 _ACTIVE: list[DataFrame] = []
 
 
-def managed_cache(*dfs: DataFrame) -> DataFrame | tuple[DataFrame, ...]:
+def managed_cache(
+    *dfs: DataFrame, extend: bool = False
+) -> DataFrame | tuple[DataFrame, ...]:
     """Release caches registered by previous queries, then cache and
     register ``dfs``. Returns the single frame, or the tuple when
-    several are given."""
-    release_caches()
+    several are given. ``extend=True`` skips the release so a
+    composite plan can register caches across several calls without
+    unpersisting its own earlier ones."""
+    if not extend:
+        release_caches()
     out = []
     for df in dfs:
         out.append(df.cache())

@@ -963,7 +963,11 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COSINE_GRID_BLOCKS = 8  # NB*(NB+1)/2 = 36 independent tasks locally
+# Two consumers: the all-pairs cosine query blocks on a triangular
+# grid (NB*(NB+1)/2 = 36 independent tasks locally); semantic
+# decontamination reuses it as a plain NB-way modulus split of the
+# train side (8 tasks, eval side replicated into each).
+_COSINE_GRID_BLOCKS = 8
 
 
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

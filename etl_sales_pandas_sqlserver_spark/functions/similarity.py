@@ -327,10 +327,13 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
     q_unit = q_mat / np.where(q_norms == 0.0, 1.0, q_norms)
     probe_lists = _nearest_lists(q_unit, cents, _IVF_NPROBE)
-    bc = spark.sparkContext.broadcast((q_ids, q_unit, q_norms[:, 0], probe_lists, cents))
+    q_seqnrm = _seq_norms(q_mat)
+    bc = spark.sparkContext.broadcast(
+        (q_ids, q_mat, q_seqnrm, q_norms[:, 0], probe_lists, cents)
+    )
 
     def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        qids, qunit, qnrm, probes, c = bc.value
+        qids, qmat, qseqnrm, qnrm, probes, c = bc.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -350,7 +353,15 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 if not keep.any():
                     continue
-                cos = u[keep] @ qunit[qi]
+                # probe selection is the IVF part; the reported score
+                # is spelled through the same sequential-fold kernel as
+                # the exact scan, so the membership contract can check
+                # it bitwise (round 7 -- a BLAS unit-vector dot differs
+                # in the last ulps)
+                mk = m[keep]
+                cos = _seq_matmul(mk, qmat[qi : qi + 1])[:, 0] / (
+                    qseqnrm[qi] * _seq_norms(mk)
+                )
                 out.extend(_local_topk(cand_ids[keep], cos, int(qids[qi]), _TOP_K))
             yield pd.DataFrame(out, columns=["query_id", "neighbor_id", "cosine"])
 
@@ -604,15 +615,143 @@ def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-query membership contract (round-7, verdict #6): the approximate
+# result SETS can't be hash-compared (which neighbors LSH/IVF surface
+# is not SQL-expressible), but every structural claim each hit makes IS
+# verifiable in-plan, per query:
+#   k_full_ok      exactly _TOP_K hits came back (measured invariant at
+#                  every test SF; a probe-radius regression that starves
+#                  a query of candidates flips it),
+#   distinct_ok    no neighbor repeats,
+#   no_self_ok     the query vector never matches itself,
+#   ids_valid_ok   every neighbor_id exists in the corpus,
+#   rank_ok        ranks are exactly 1..n with cosine non-increasing,
+#   cosine_exact_ok  each reported cosine bitwise-equals a recomputation
+#                  from the stored vectors via the same sequential-fold
+#                  kernel the exact oracle uses (no fabricated scores).
+# The oracle is one literal-TRUE row per query id, derived from the
+# data (vec_id < _N_QUERIES) -- the driver's value-hash then proves all
+# 8x6 booleans held. Variant-level RECALL floors stay the job of
+# q_ann_recall_contract. This replaces the rows-only registration the
+# three variants carried through round 6.
+# ---------------------------------------------------------------------------
+
+ANN_MEMBERSHIP_SQL = f"""
+  SELECT vec_id AS query_id, TRUE AS k_full_ok, TRUE AS distinct_ok,
+         TRUE AS no_self_ok, TRUE AS ids_valid_ok, TRUE AS rank_ok,
+         TRUE AS cosine_exact_ok
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+  ORDER BY query_id
+"""
+
+
+def _membership_contract(fn: SparkQuery) -> SparkQuery:
+    def contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import pandas as pd
+
+        res = fn(spark, sf_dir)
+        vecs = _vectors(spark, sf_dir)
+        q_ids, q_mat = _collect_queries(vecs)
+        q_nrm = _seq_norms(q_mat)
+        bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+
+        # ids_valid + cosine recompute ride one join to the corpus
+        # vectors; a missing neighbor_id survives as v IS NULL.
+        joined = res.join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+            ),
+            "neighbor_id",
+            "left",
+        ).select("query_id", "neighbor_id", "cosine", "rank", "nv")
+
+        def verify(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            qids, qmat, qnrm = bc.value
+            pos = {int(q): i for i, q in enumerate(qids)}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ok = np.zeros(len(pdf), dtype=bool)
+                valid = pdf["nv"].notna().to_numpy()
+                if valid.any():
+                    sub = pdf[valid]
+                    m = np.stack(sub["nv"].to_numpy()).astype(np.float64)
+                    nrm = _seq_norms(m)
+                    cos = _seq_matmul(m, qmat) / (qnrm[None, :] * nrm[:, None])
+                    qcol = np.array(
+                        [pos[int(q)] for q in sub["query_id"]], dtype=np.int64
+                    )
+                    recomputed = cos[np.arange(len(sub)), qcol]
+                    ok[valid] = recomputed == sub["cosine"].to_numpy()
+                out = pdf[["query_id", "neighbor_id", "rank", "cosine"]].copy()
+                out["id_valid"] = valid
+                out["cos_ok"] = ok
+                yield out
+
+        checked = joined.mapInPandas(
+            verify,
+            schema=(
+                "query_id long, neighbor_id long, rank int, cosine double,"
+                " id_valid boolean, cos_ok boolean"
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy("rank")
+        flagged = checked.withColumn(
+            "order_ok",
+            F.coalesce(
+                F.lag("cosine").over(w) >= F.col("cosine"), F.lit(True)
+            ),
+        )
+        return (
+            flagged.groupBy("query_id")
+            .agg(
+                (F.count(F.lit(1)) == _TOP_K).alias("k_full_ok"),
+                (
+                    F.count_distinct(F.col("neighbor_id"))
+                    == F.count(F.lit(1))
+                ).alias("distinct_ok"),
+                F.bool_and(F.col("neighbor_id") != F.col("query_id")).alias(
+                    "no_self_ok"
+                ),
+                F.bool_and("id_valid").alias("ids_valid_ok"),
+                (
+                    (F.min("rank") == 1)
+                    & (F.max("rank") == F.count(F.lit(1)))
+                    & (
+                        F.count_distinct(F.col("rank"))
+                        == F.count(F.lit(1))
+                    )
+                    & F.bool_and("order_ok")
+                ).alias("rank_ok"),
+                F.bool_and("cos_ok").alias("cosine_exact_ok"),
+            )
+            .orderBy("query_id")
+        )
+
+    return contract
+
+
+q_topk_ann_contract = _membership_contract(q_topk_ann)
+q_topk_ivf_contract = _membership_contract(q_topk_ivf)
+q_topk_ann_indexed_contract = _membership_contract(q_topk_ann_indexed)
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "similarity_topk_exact": (q_topk_exact, TOPK_EXACT_SQL),
     "embedding_knn_label": (q_knn_label, KNN_LABEL_SQL),
-    # approximate by construction: the RESULT SETS register rows-only;
-    # the recall contract below registers their floors oracle-checked
-    "similarity_topk_ann": (q_topk_ann, None),
-    "similarity_topk_ivf": (q_topk_ivf, None),
-    # identical results to similarity_topk_ann (asserted in tests);
+    # approximate by construction: the registered entries emit the
+    # per-query membership contract over the variant's result set
+    # (hash-checked); the raw top-k frames stay available as
+    # q_topk_ann / q_topk_ivf / q_topk_ann_indexed for API users and
+    # the equality/recall tests
+    "similarity_topk_ann": (q_topk_ann_contract, ANN_MEMBERSHIP_SQL),
+    "similarity_topk_ivf": (q_topk_ivf_contract, ANN_MEMBERSHIP_SQL),
+    # identical raw results to similarity_topk_ann (asserted in tests);
     # reads a bucket-partitioned index with partition pruning
-    "similarity_topk_ann_indexed": (q_topk_ann_indexed, None),
+    "similarity_topk_ann_indexed": (
+        q_topk_ann_indexed_contract,
+        ANN_MEMBERSHIP_SQL,
+    ),
     "similarity_ann_recall_contract": (q_ann_recall_contract, ANN_RECALL_SQL),
 }

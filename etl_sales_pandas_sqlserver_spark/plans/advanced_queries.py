@@ -485,6 +485,8 @@ def q_cube_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass production sketch, unchanged: per-segment GK
+    percentiles of order totals."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     joined = orders.join(
@@ -495,6 +497,49 @@ def q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         for tag, p in _PCTS
     ]
     return joined.groupBy("mktsegment").agg(*aggs).orderBy("mktsegment")
+
+
+# Registered face of the approx query (round-7, verdict #6): the sketch
+# VALUES can't be hash-compared (GK vs t-digest layouts), but GK always
+# returns an ELEMENT of its input -- so per segment the query emits
+# membership booleans (each sketch value exists in that segment's
+# multiset) plus the oracle-computable row count. One broadcast join of
+# the |segments|-row sketch back to the fact -- the second pass is
+# verification-harness shape; production uses q_percentiles_approx
+# alone. The rank-space ERROR bound stays the job of
+# percentiles_approx_contract.
+PCT_APPROX_MEMBER_SQL = """
+  SELECT c.c_mktsegment AS mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         TRUE AS p25_member, TRUE AS p50_member, TRUE AS p90_member
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+  ORDER BY 1
+"""
+
+
+def q_percentiles_approx_membership(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    ).select(F.col("c_mktsegment").alias("mktsegment"), "o_totalprice")
+    sketch = joined.groupBy("mktsegment").agg(
+        *[
+            F.percentile_approx("o_totalprice", p, 10_000).alias(f"a{tag}")
+            for tag, p in _PCTS
+        ]
+    )
+    ranked = joined.join(F.broadcast(sketch), "mktsegment")
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.bool_or(F.col("o_totalprice") == F.col(f"a{tag}")).alias(
+            f"p{tag}_member"
+        )
+        for tag, _p in _PCTS
+    ]
+    return ranked.groupBy("mktsegment").agg(*aggs).orderBy("mktsegment")
 
 
 # ---------------------------------------------------------------------------
@@ -902,6 +947,9 @@ ADVANCED_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     # sketch internals are engine-specific: rows-only for the driver,
     # error bounded vs the exact count / exact percentiles in tests
     "approx_distinct_users": (q_approx_distinct, APPROX_DISTINCT_SQL),
-    "percentiles_by_segment_approx": (q_percentiles_approx, None),
+    "percentiles_by_segment_approx": (
+        q_percentiles_approx_membership,
+        PCT_APPROX_MEMBER_SQL,
+    ),
     "percentiles_approx_contract": (q_percentiles_contract, PCT_CONTRACT_SQL),
 }

@@ -98,24 +98,35 @@ def read_csv_with_bad_records(
 
     Spark disallows queries that reference ONLY the corrupt column
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN); the
-    documented workaround is to cache the parsed frame first, which
-    also means the file parses once for both outputs. The cache is
-    registered with managed_cache, so the next cache-using query
-    releases it."""
+    documented workaround is to cache the parsed frame so ``bad`` is
+    ANALYZABLE. But a cache is a liveness hazard: if it is released
+    before ``bad`` executes (e.g. by the managed_cache hygiene of the
+    next query), collecting ``bad`` throws that same error at runtime.
+    So ``bad`` is eagerly materialized via ``localCheckpoint`` while
+    the cache is live -- severing its lineage from the raw CSV scan --
+    and the cache is dropped before returning. Both outputs are then
+    valid regardless of any later cache churn: ``bad`` reads its
+    checkpointed blocks, ``good`` re-parses the file (a plain query
+    that references real data columns). Bad rows are a tiny fraction
+    of an ingest, so checkpointing them is cheap at any scale."""
     full = T.StructType(
         list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
     )
-    from ..cache import managed_cache
-
-    df = managed_cache(
+    df = (
         spark.read.option("header", "true")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", corrupt_col)
         .schema(full)
         .csv(path)
+        .cache()
     )
     good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
-    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
-        F.col(corrupt_col).alias("raw_record")
-    )
+    try:
+        bad = (
+            df.filter(F.col(corrupt_col).isNotNull())
+            .select(F.col(corrupt_col).alias("raw_record"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        df.unpersist()
     return good, bad

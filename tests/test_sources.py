@@ -237,3 +237,31 @@ def test_csv_bad_record_quarantine(spark, tmp_path):
     assert good_rows == {(1, 10.5), (2, 20.25)}
     bad_rows = sorted(r.raw_record for r in bad.collect())
     assert bad_rows == ["3,bad", "oops,not-a-number"]
+
+
+def test_csv_bad_records_survive_cache_release(spark, tmp_path):
+    """The quarantine frame must stay collectible after the managed
+    cache registry churns (round-7 advice): before the fix, releasing
+    caches between construction and collection made `bad` throw
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN at runtime."""
+    from pyspark.sql import types as T
+
+    from etl_sales_pandas_sqlserver_spark.cache import managed_cache, release_caches
+    from etl_sales_pandas_sqlserver_spark.sources.csv_folder import (
+        read_csv_with_bad_records,
+    )
+
+    p = tmp_path / "mixed.csv"
+    p.write_text("id,amount\n1,10.5\nbad-row,xx\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    good, bad = read_csv_with_bad_records(spark, str(p), schema)
+    # simulate another cache-using query being constructed in between
+    managed_cache(spark.range(3))
+    release_caches()
+    assert [r.raw_record for r in bad.collect()] == ["bad-row,xx"]
+    assert {(r.id, r.amount) for r in good.collect()} == {(1, 10.5)}
