@@ -215,6 +215,33 @@ def main() -> None:
                 )
 
     total = round(sum(timings.values()), 3)
+    # 10x scale smoke (round-7, verdict #7): one measured scaling point
+    # per heavy family (dedup/simhash/similarity/fuzzy) against a
+    # deterministic 10x replica of the bench data -- proves the linear
+    # designs and catches quadratic candidate blow-ups sf0.1 can't.
+    # Own process (fresh JVM, engine session), bounded, best-effort:
+    # a failure or SPARK_GRAFT_SCALE_SMOKE=0 just omits the section.
+    scale_smoke: dict = {}
+    if os.environ.get("SPARK_GRAFT_SCALE_SMOKE", "1") != "0":
+        import subprocess
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        try:
+            sproc = subprocess.run(
+                [sys.executable, os.path.join(repo, "tools", "scale_smoke.py")],
+                capture_output=True,
+                text=True,
+                cwd=repo,
+                timeout=600,
+            )
+            for line in sproc.stdout.splitlines():
+                try:
+                    scale_smoke.update(json.loads(line).get("scale_smoke", {}))
+                except (json.JSONDecodeError, AttributeError):
+                    continue
+        except (subprocess.TimeoutExpired, OSError) as exc:
+            print(f"bench: scale smoke aborted: {exc}", file=sys.stderr)
+
     summary = {
         "metric": "engine_query_suite_wall_seconds",
         "value": total,
@@ -237,6 +264,9 @@ def main() -> None:
         "isolated": {
             n: {"suite": timings.get(n), **d} for n, d in isolated.items()
         },
+        # per heavy family: wall at sf0.1 vs at the 10x replica set;
+        # ratio_vs_linear = t_10x / (10 * t_sf01), >1.5 flags superlinear
+        "scale_smoke": scale_smoke,
     }
     # stdout tail capture truncates the per-query map with 97 queries
     # (round 3 lost positions 0-40), so persist the full object to a

@@ -330,14 +330,18 @@ def ordered_names(queries: dict) -> list[str] | None:
        differs from ``head_own_fingerprint`` at the latest verified
        commit, or the query is new) -- algorithm rewrites in flight
        are the highest-risk evidence gap;
-    2. full fingerprint changed this round (a dep module the query
-       reaches changed -- e.g. a shared loader) -- real staleness, but
-       a whole-registry event whenever a common module is touched, so
-       it must not displace tier 1;
-    3. stale (code changed since the query's LAST GREEN round) --
-       green rows that predate a code change;
-    4. fresh -- evidence still matches the code;
-    each tier oldest-green-first, then by name for determinism.
+    2. everything else OLDEST GREEN FIRST, dep-changed before
+       fresh/stale within the same evidence round, then by name.
+
+    Round-7 re-rank: evidence age now outranks the dep-changed bit for
+    own-unchanged queries. A module edit flips the full fingerprint of
+    every sibling query at once, and under the old tiering one busy
+    round could keep a whole registry-wide dep cohort (with perfectly
+    recent evidence) ahead of untouched queries whose last green was
+    rounds older -- the r4 tail would never drain while code kept
+    moving. The dep change itself still gets exercised: its tier-1
+    authors are in the window, and among equal-age queries the
+    dep-changed ones still go first.
 
     Queries registered WITHOUT oracle SQL sort behind every
     oracle-checkable query regardless of staleness: the driver can only
@@ -367,9 +371,9 @@ def ordered_names(queries: dict) -> list[str] | None:
             (
                 sql is None,
                 not own_changed_now,
+                last_green,
                 not changed_now,
                 fresh,
-                last_green,
                 name,
             )
         )
