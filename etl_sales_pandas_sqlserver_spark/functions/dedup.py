@@ -298,6 +298,71 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 2a. Jaccard CONTAINMENT pairs: the asymmetric sibling of the jaccard
+# join -- |A n B| / |A| >= t finds documents A whose content is
+# (almost) wholly inside another document B even when B is much
+# larger, the quote/excerpt/boilerplate case a symmetric jaccard
+# misses (a 50-shingle doc pasted into a 5000-shingle doc has jaccard
+# ~0.01 but containment 1.0). Same inverted-index shuffle shape as the
+# jaccard join -- (doc_id, 64-bit shingle hash) pairs, never text;
+# the threshold test is integer cross-multiplied (10*common >= 9*na)
+# so the filter is exact and the only float is the reported ratio.
+# Pairs are DIRECTED (a contained-in b), so both orientations of an
+# exact-duplicate pair appear -- by design.
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_PCT = 9  # threshold = _CONTAINMENT_PCT / 10
+
+CONTAINMENT_SQL = f"""
+  WITH {_SHINGLES_CTE},
+  sized AS (SELECT doc_id, s, len(s) AS n FROM sh WHERE len(s) > 0),
+  pairs AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           len(list_intersect(a.s, b.s)) AS common, a.n AS na
+    FROM sized a JOIN sized b ON a.doc_id <> b.doc_id
+  )
+  SELECT a_id, b_id, CAST(common AS DOUBLE) / na AS containment
+  FROM pairs
+  WHERE 10 * common >= {_CONTAINMENT_PCT} * na
+  ORDER BY a_id, b_id
+"""
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = managed_cache(_doc_shingles(spark, sf_dir))
+    sizes = sh.select("doc_id", F.size("s").alias("n")).filter(
+        F.col("n") > 0
+    )
+    ex = sh.select(
+        "doc_id",
+        F.explode(F.expr("transform(s, x -> xxhash64(x))")).alias("h"),
+    )
+    a = ex.select(F.col("doc_id").alias("a_id"), "h")
+    b = ex.select(F.col("doc_id").alias("b_id"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    return (
+        common.join(na, "a_id")
+        .filter(
+            F.lit(10) * F.col("common") >= F.lit(_CONTAINMENT_PCT) * F.col("na")
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (F.col("common").cast("double") / F.col("na")).alias(
+                "containment"
+            ),
+        )
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # 2b. Train/eval decontamination: the cross-corpus variant of the
 # inverted-index join. Before pre-training, any train document that
 # near-duplicates an eval/benchmark document must be dropped or the
@@ -1397,7 +1462,66 @@ def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 10. Prefix-filtered exact Jaccard join (PPJoin-style blocking). The
+# inverted-index baseline (q_ngram_jaccard_pairs) joins EVERY shingle
+# posting; prefix filtering joins only each document's rarest few:
+# order the universe by (global df, shingle) -- a total order both
+# docs compute identically -- and keep the first
+# |s| - ceil(t*|s|) + 1 shingles per doc. Two sets with Jaccard >= t
+# MUST share a prefix element under any common total order (standard
+# prefix-filtering completeness, e.g. Chaudhuri et al. 2006 /
+# Xiao et al. PPJoin 2008), so the candidate join over ~10% of the
+# postings (t=0.9) loses no pair -- and the driver PROVES it: the
+# oracle is the brute-force all-pairs Jaccard, so a hash match
+# certifies completeness, not just plausibility. At 100 TB the
+# candidate shuffle carries (doc_id, shingle-hash) ints for the prefix
+# postings only; rarest-first ordering makes each join group small
+# (the most frequent shingles never block).
+# ceil(0.9*|s|) is spelled in INTEGER arithmetic ((9*|s| + 9) DIV 10):
+# a float ceil could round 0.9*|s| up across the integer boundary and
+# silently shorten the prefix below the completeness bound.
+# ---------------------------------------------------------------------------
+
+
+def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    sh = managed_cache(_doc_shingles(spark, sf_dir))
+    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
+    df_tbl = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = ex.join(df_tbl, "shingle").withColumn(
+        "pos", F.row_number().over(w)
+    )
+    sizes = sh.select("doc_id", F.size("s").alias("n_sh"))
+    prefix_len = (
+        F.col("n_sh")
+        - F.floor((F.lit(9) * F.col("n_sh") + F.lit(9)) / F.lit(10))
+        + F.lit(1)
+    )
+    prefix = (
+        ranked.join(sizes, "doc_id")
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
+    )
+    a = prefix.select(F.col("doc_id").alias("a_id"), "sh_hash")
+    b = prefix.select(F.col("doc_id").alias("b_id"), "sh_hash")
+    cand = (
+        a.join(b, "sh_hash")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    return _verify_jaccard(cand, sh).orderBy("a_id", "b_id")
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
+    "dedup_jaccard_prefix_filter": (
+        q_jaccard_prefix_filter,
+        _EXACT_JACCARD_PAIRS_SQL,
+    ),
+    "dedup_containment_pairs": (q_containment_pairs, CONTAINMENT_SQL),
     "dedup_exact": (q_exact_dedup, EXACT_DEDUP_SQL),
     "dedup_repeated_spans": (q_repeated_spans, REPEATED_SPANS_SQL),
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _EXACT_JACCARD_PAIRS_SQL),

@@ -11,6 +11,7 @@ from __future__ import annotations
 from ..streaming.queries import QUERIES_EXPORT as STREAMING_QUERIES
 from .dedup import QUERIES_EXPORT as DEDUP_QUERIES
 from .multimodal import QUERIES_EXPORT as MULTIMODAL_QUERIES
+from .search import SEARCH_QUERIES
 from .similarity import QUERIES_EXPORT as SIMILARITY_QUERIES
 from .sketches import SKETCH_QUERIES
 from .textstats import TEXT_QUERIES
@@ -24,4 +25,5 @@ FUNCTION_QUERIES = {
     **MULTIMODAL_QUERIES,
     **STREAMING_QUERIES,
     **SKETCH_QUERIES,
+    **SEARCH_QUERIES,
 }

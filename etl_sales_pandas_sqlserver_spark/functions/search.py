@@ -1,0 +1,313 @@
+"""Corpus search / frequency primitives a training-data pipeline needs
+beyond dedup: BM25 keyword retrieval over the documents table and
+exact heavy-hitter detection with sketch-pruned counting.
+
+No reference counterpart (the reference is a sales CSV->SQL-Server
+ETL, main.py:53-210); these extend the Layer-B LLM-pipeline surface.
+
+Float discipline (see SKILL gotchas): BM25 is computed as the SAME
+sequence of correctly-rounded IEEE double ops on both engines --
+integer tf/df/dl aggregates first, one fixed-order expression per
+term, and the 3-term sum spelled as s1 + s2 + s3 in fixed textual
+order (a SUM() over terms would be order-dependent). The idf uses the
+RATIONAL form (N - df + 0.5) / (df + 0.5) rather than its log: same
+ranking monotonicity, and it keeps libm (whose last-ulp behavior
+differs across engines) out of the hash-compared output.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval. Plan shape at 100 TB: one groupBy(doc) for
+# document lengths, one groupBy(doc) for the query terms' tfs -- the tf
+# aggregate only sees postings of the 3 query terms (the IN filter
+# pushes into the scan side of the explode), so its shuffle is ~|hits|,
+# not |corpus postings|; df/N/avgdl are single-row or 3-row broadcast
+# builds; the final top-10 compiles to TakeOrderedAndProject (k rows
+# per partition, no global sort).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("vector", "stream", "spark")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+_terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+BM25_SEARCH_SQL = f"""
+  WITH tok AS (
+    SELECT doc_id, UNNEST(string_split(trim(lower(text)), ' ')) AS tok
+    FROM documents
+  ),
+  dl AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+  ),
+  stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS BIGINT) AS total_tokens
+    FROM dl
+  ),
+  tf AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN tok = '{_BM25_TERMS[0]}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS tf0,
+           CAST(SUM(CASE WHEN tok = '{_BM25_TERMS[1]}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS tf1,
+           CAST(SUM(CASE WHEN tok = '{_BM25_TERMS[2]}' THEN 1 ELSE 0 END)
+                AS BIGINT) AS tf2
+    FROM tok WHERE tok IN ({_terms_sql})
+    GROUP BY doc_id
+  ),
+  df AS (
+    SELECT CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+           CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+           CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+    FROM tf
+  ),
+  scored AS (
+    SELECT t.doc_id, t.tf0, t.tf1, t.tf2,
+      ((CAST(s.n_docs AS DOUBLE) - CAST(d.df0 AS DOUBLE) + 0.5)
+         / (CAST(d.df0 AS DOUBLE) + 0.5))
+        * ((CAST(t.tf0 AS DOUBLE) * 2.2)
+           / (CAST(t.tf0 AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                 / (CAST(s.total_tokens AS DOUBLE)
+                    / CAST(s.n_docs AS DOUBLE)))))) +
+      ((CAST(s.n_docs AS DOUBLE) - CAST(d.df1 AS DOUBLE) + 0.5)
+         / (CAST(d.df1 AS DOUBLE) + 0.5))
+        * ((CAST(t.tf1 AS DOUBLE) * 2.2)
+           / (CAST(t.tf1 AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                 / (CAST(s.total_tokens AS DOUBLE)
+                    / CAST(s.n_docs AS DOUBLE)))))) +
+      ((CAST(s.n_docs AS DOUBLE) - CAST(d.df2 AS DOUBLE) + 0.5)
+         / (CAST(d.df2 AS DOUBLE) + 0.5))
+        * ((CAST(t.tf2 AS DOUBLE) * 2.2)
+           / (CAST(t.tf2 AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                 / (CAST(s.total_tokens AS DOUBLE)
+                    / CAST(s.n_docs AS DOUBLE)))))) AS score
+    FROM tf t JOIN dl l ON l.doc_id = t.doc_id CROSS JOIN stats s
+    CROSS JOIN df d
+  )
+  SELECT doc_id, tf0, tf1, tf2, score
+  FROM scored
+  ORDER BY score DESC, doc_id
+  LIMIT {_BM25_TOPK}
+"""
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " ")).alias("tok"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    )
+    tf = (
+        tok.filter(F.col("tok").isin(*_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum((F.col("tok") == t).cast("long")).alias(f"tf{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ]
+        )
+    )
+    df_row = tf.agg(
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ]
+    )
+    # exact operand order as the oracle: avgdl = total/n inside the
+    # dl-ratio, 0.25 + 0.75 * ratio, tf*2.2 numerator
+    avgdl = F.col("total_tokens").cast("double") / F.col("n_docs").cast(
+        "double"
+    )
+    norm = F.lit(1.2) * (
+        F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+    )
+
+    def term_score(i: int):
+        idf = (
+            F.col("n_docs").cast("double")
+            - F.col(f"df{i}").cast("double")
+            + F.lit(0.5)
+        ) / (F.col(f"df{i}").cast("double") + F.lit(0.5))
+        return idf * (
+            (F.col(f"tf{i}").cast("double") * F.lit(2.2))
+            / (F.col(f"tf{i}").cast("double") + norm)
+        )
+
+    score = term_score(0) + term_score(1) + term_score(2)
+    return (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))  # single-row corpus stats
+        .crossJoin(F.broadcast(df_row))  # single-row per-term dfs
+        .select("doc_id", "tf0", "tf1", "tf2", score.alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters with sketch-pruned counting. The naive plan
+# (groupBy every key, filter count > n/k) shuffles the FULL key
+# universe; the scalable shape is two passes: (1) a Misra-Gries
+# summary per partition -- capacity k, mergeable, provably a SUPERSET
+# of every key with global frequency > n/k -- union'ed into a small
+# candidate set; (2) exact counts for candidates only, so the
+# aggregation shuffle carries at most |partitions| * k keys no matter
+# how large the key universe grows. Output is EXACT (candidates are
+# re-counted, false positives filtered), so the DuckDB oracle is a
+# plain GROUP BY ... HAVING -- the hash match certifies both the MG
+# superset guarantee and the recount.
+# ---------------------------------------------------------------------------
+
+_HH_K = 128
+
+HEAVY_HITTERS_SQL = f"""
+  WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM events)
+  SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events e CROSS JOIN t
+  GROUP BY e.user_id, t.total
+  HAVING COUNT(*) * {_HH_K} > t.total
+  ORDER BY user_id
+"""
+
+
+def _misra_gries_candidates(keys: DataFrame, k: int) -> DataFrame:
+    """Per-partition Misra-Gries summaries (capacity ``k``) over the
+    single key column; returns the distinct candidate key set."""
+    import pandas as pd
+
+    col = keys.columns[0]
+
+    def summarize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        counters: dict = {}
+        for pdf in batches:
+            for key in pdf[col].to_numpy():
+                if key in counters:
+                    counters[key] += 1
+                elif len(counters) < k:
+                    counters[key] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for c in counters:
+                        counters[c] -= 1
+                        if counters[c] == 0:
+                            dead.append(c)
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return keys.mapInPandas(summarize, schema=f"{col} {keys.schema[col].dataType.simpleString()}").distinct()
+
+
+def q_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cand = _misra_gries_candidates(ev, _HH_K)
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        ev.join(cand, "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))  # single-row total
+        .filter(F.col("n_events") * _HH_K > F.col("total"))
+        .select("user_id", "n_events")
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model statistics: conditional probability
+# p(w2 | w1) = c(w1 w2) / c(w1 *) for the corpus's top bigrams -- the
+# building block of n-gram quality filters (a document whose bigrams
+# are all low-probability is noise) and of classic LM perplexity
+# scoring. Integer counts end-to-end; the conditional probability is
+# ONE final correctly-rounded division per row, so the hash-compared
+# doubles are bitwise-portable. The bigram pairs are built INSIDE the
+# row (transform over a position sequence -- no self-join, no O(len^2)
+# blow-up); two hash-agg shuffles total (bigram counts, unigram
+# prefix counts), both map-side combinable. Top-50 by count compiles
+# to TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_TOPK = 50
+
+BIGRAM_LM_SQL = f"""
+  WITH toks AS (
+    SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+    FROM documents
+  ),
+  big AS (
+    SELECT UNNEST([struct_pack(w1 := w[i], w2 := w[i+1])
+                   for i in range(1, len(w))]) AS b
+    FROM toks WHERE len(w) >= 2
+  ),
+  pairs AS (
+    SELECT b.w1 AS w1, b.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c12
+    FROM big GROUP BY 1, 2
+  ),
+  uni AS (
+    SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM pairs GROUP BY 1
+  )
+  SELECT p.w1, p.w2, p.c12, u.c1,
+         CAST(p.c12 AS DOUBLE) / CAST(u.c1 AS DOUBLE) AS cond_p
+  FROM pairs p JOIN uni u ON u.w1 = p.w1
+  ORDER BY p.c12 DESC, p.w1, p.w2
+  LIMIT {_BIGRAM_TOPK}
+"""
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    big = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> named_struct('w1', w[i-1], 'w2', w[i]))"
+            )
+        ).alias("b")
+    ).select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    pairs = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        pairs.join(uni, "w1")
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            (F.col("c12").cast("double") / F.col("c1").cast("double")).alias(
+                "cond_p"
+            ),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(_BIGRAM_TOPK)
+    )
+
+
+SEARCH_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "text_bm25_search": (q_bm25_search, BM25_SEARCH_SQL),
+    "text_bigram_lm": (q_bigram_lm, BIGRAM_LM_SQL),
+    "heavy_hitters_users": (q_heavy_hitters_users, HEAVY_HITTERS_SQL),
+}

@@ -561,7 +561,88 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection: flag events whose value deviates
+# more than 2 sigma from the user's trailing 20-event window. The whole
+# test is INTEGER arithmetic -- values are scaled to cents once
+# (floor(value*100): the double multiply and floor are identical ops on
+# both engines), the window keeps exact integer count/sum/sum-of-
+# squares, and |v - mean| > 2*std is cross-multiplied into
+# (c*v - s)^2 > 4*(c*q - s^2), so no float sum order, no sqrt, no
+# division ever touches the hash-compared output. Plan: one shuffle on
+# user_id, a single window pass (ROWS frame => O(1) incremental state
+# per row), anomalies-only output. Max magnitudes (v<=49k cents, 20-row
+# frame) keep every intermediate < 2^41 -- no BIGINT overflow at any
+# window width that fits memory.
+# ---------------------------------------------------------------------------
+
+ZSCORE_ANOMALY_SQL = """
+  WITH x AS (
+    SELECT user_id, event_id, ts,
+           CAST(floor(value * 100) AS BIGINT) AS v_cents
+    FROM events
+  ),
+  w AS (
+    SELECT user_id, event_id, v_cents,
+           CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+           count(v_cents) OVER win AS c,
+           sum(v_cents) OVER win AS s,
+           sum(v_cents * v_cents) OVER win AS q
+    FROM x
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+  )
+  SELECT user_id, event_id, ts_us, v_cents, c AS n_window, s AS sum_window
+  FROM w
+  WHERE c >= 10
+    AND (c * v_cents - s) * (c * v_cents - s) > 4 * (c * q - s * s)
+  ORDER BY user_id, event_id
+"""
+
+
+def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        epoch_us(ev, "ts").alias("ts_us"),
+        F.floor(F.col("value") * F.lit(100)).cast("bigint").alias("v_cents"),
+    )
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = x.select(
+        "user_id",
+        "event_id",
+        "v_cents",
+        "ts_us",
+        F.count("v_cents").over(win).alias("c"),
+        F.sum("v_cents").over(win).alias("s"),
+        F.sum(F.col("v_cents") * F.col("v_cents")).over(win).alias("q"),
+    )
+    dev = F.col("c") * F.col("v_cents") - F.col("s")
+    var4 = F.lit(4) * (
+        F.col("c") * F.col("q") - F.col("s") * F.col("s")
+    )
+    return (
+        w.filter((F.col("c") >= 10) & (dev * dev > var4))
+        .select(
+            "user_id",
+            "event_id",
+            "ts_us",
+            "v_cents",
+            F.col("c").alias("n_window"),
+            F.col("s").alias("sum_window"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 TEMPORAL_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "window_zscore_anomaly": (q_zscore_anomaly, ZSCORE_ANOMALY_SQL),
     "timeseries_gapfill_hourly": (q_timeseries_gapfill, GAPFILL_SQL),
     "cohort_retention_weekly": (q_cohort_retention, COHORT_RETENTION_SQL),
     "asof_join_clicks_purchases": (q_asof_join, ASOF_SQL),

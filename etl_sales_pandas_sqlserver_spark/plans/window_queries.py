@@ -233,7 +233,157 @@ def q_relative_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+# ---------------------------------------------------------------------------
+# Sliding distinct count: distinct event types per user over the
+# trailing hour. Spark has no DISTINCT aggregate over a window frame;
+# the composable spelling is size(array_distinct(collect_list() OVER
+# w)) -- state bounded by the frame's row count (events/user/hour),
+# never the corpus. The DuckDB oracle uses its native
+# COUNT(DISTINCT) OVER, so the hash match also cross-validates the
+# collect_list emulation against a reference implementation. Integer
+# output, no float hazards.
+# ---------------------------------------------------------------------------
+
+DISTINCT_1H_SQL = """
+  SELECT event_id, user_id,
+         CAST(COUNT(DISTINCT event_type) OVER w AS BIGINT)
+           AS n_types_1h
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+  ORDER BY event_id
+"""
+
+
+def q_distinct_types_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.withColumn("tsu", epoch_us(raw, "ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("bigint")
+        .alias("n_types_1h"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth binning: exact ntile(10) deciles of order value with
+# per-decile stats -- the feature-binning primitive (bucketize a
+# numeric column by empirical quantiles, then aggregate per bucket).
+# A naive ntile() OVER (ORDER BY ...) is a GLOBAL window -- a
+# single-partition funnel that dies at scale -- so the decile is
+# computed from a DISTRIBUTED exact rank instead: range-partition by
+# the sort key, count per partition, broadcast the prefix offsets, and
+# number rows with an Arrow kernel (the training_order_global_index
+# shape; its plan pin forbids data-sized single partitions). The
+# rank->ntile closed form reproduces SQL ntile's first-(N mod k)-
+# buckets-get-one-extra distribution exactly, so the DuckDB oracle can
+# use native ntile. Order is made total with the orderkey tiebreak;
+# money sums accumulate in DECIMAL.
+# ---------------------------------------------------------------------------
+
+_N_DECILES = 10
+_DECILE_PARTS = 32
+
+DECILE_STATS_SQL = f"""
+  WITH d AS (
+    SELECT o_totalprice,
+           ntile({_N_DECILES}) OVER (ORDER BY o_totalprice, o_orderkey)
+             AS decile
+    FROM orders
+  )
+  SELECT CAST(decile AS BIGINT) AS decile,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_price
+  FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    parts = (
+        orders.repartitionByRange(
+            _DECILE_PARTS, "o_totalprice", "o_orderkey"
+        )
+        .sortWithinPartitions("o_totalprice", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+        # one materialization: the counts pass and the ranking pass
+        # must see the SAME sampled range boundaries
+        .localCheckpoint(eager=True)
+    )
+    counts = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    off_win = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # |partitions| rows -- single-task but bounded by config, not data
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("n").over(off_win), F.lit(0)).alias("off")
+    )
+    total = counts.agg(F.sum("n").alias("n_total"))
+    staged = parts.join(F.broadcast(offsets), "pid")
+
+    def add_rank(batches):
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = int(pdf["off"].iloc[0]) + local
+            out = pdf[["o_totalprice"]].assign(
+                rnk=range(base + 1, base + 1 + len(pdf))
+            )
+            local += len(pdf)
+            yield out
+
+    ranked = staged.mapInPandas(
+        add_rank, schema="o_totalprice double, rnk long"
+    )
+    # SQL ntile(k): q = N div k, m = N mod k; buckets 1..m hold q+1
+    # rows, buckets m+1..k hold q. Integer arithmetic only.
+    # integer div throughout -- a double division truncated back to
+    # bigint can cross a bucket boundary at large N
+    q_ = F.expr(f"n_total div {_N_DECILES}")
+    m = F.col("n_total") % _N_DECILES
+    big_span = m * (q_ + 1)  # rows living in the (q+1)-sized buckets
+    decile = F.when(
+        F.col("rnk") <= big_span,
+        F.expr(f"(rnk - 1) div (n_total div {_N_DECILES} + 1)") + 1,
+    ).otherwise(
+        m
+        + F.expr(
+            f"(rnk - (n_total % {_N_DECILES}) * (n_total div {_N_DECILES} + 1) - 1)"
+            f" div (n_total div {_N_DECILES})"
+        )
+        + 1
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))  # single-row N
+        .select("o_totalprice", decile.alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("decile")
+    )
+
+
 WINDOW_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "window_distinct_types_1h": (q_distinct_types_1h, DISTINCT_1H_SQL),
+    "decile_stats_order_price": (q_decile_stats, DECILE_STATS_SQL),
     "window_relative_standing": (q_relative_standing, RELATIVE_STANDING_SQL),
     "window_moving_avg_7": (q_moving_avg, MOVING_AVG_SQL),
     "window_range_1h_load": (q_range_1h, RANGE_1H_SQL),

@@ -148,6 +148,10 @@ def test_training_order_avoids_global_single_partition(spark, sf_small):
 #: row, not a data-sized nested loop. The test below additionally
 #: requires the scalar-agg shape to actually be present in those plans.
 _SCALAR_CROSS_JOIN_OK = {
+    # round-7 additions: single-row corpus stats / total builds
+    "text_bm25_search",       # 1-row (n_docs, total_tokens) + 1-row dfs
+    "heavy_hitters_users",    # 1-row total-count threshold
+    "decile_stats_order_price",  # 1-row N for the ntile closed form
     "funnel_view_click_purchase",
     "similarity_ann_recall_contract",
     "text_docfreq_quality",
@@ -215,6 +219,7 @@ _BROADCAST_ALLOWED_NAMES = {
     "sketch",     # one percentile sketch row per mktsegment
     "offsets",    # one row per shuffle partition (config-bounded)
     "exact",      # exact top-k pairs for the capped 8-query ANN batch
+    "df_row",     # single row of per-query-term document frequencies
 }
 
 

@@ -1,0 +1,121 @@
+"""Semantic invariants for the round-7 additions: BM25 retrieval,
+Misra-Gries heavy hitters, prefix-filtered Jaccard join, rolling
+z-score anomalies. Oracle parity (exact hash equivalence vs DuckDB)
+is covered by test_oracle_parity; these tests pin the properties the
+hash alone can't express -- pruning actually bites, sketch guarantees
+hold on adversarial input, the anomaly test matches its closed form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_bm25_topk_ranked_and_bounded(spark, sf_small):
+    from etl_sales_pandas_sqlserver_spark.functions.search import (
+        _BM25_TOPK,
+        q_bm25_search,
+    )
+
+    rows = q_bm25_search(spark, sf_small).collect()
+    assert 0 < len(rows) <= _BM25_TOPK
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # every hit contains at least one query term
+    assert all(r.tf0 + r.tf1 + r.tf2 > 0 for r in rows)
+
+
+def test_misra_gries_superset_on_skewed_keys(spark):
+    """Every key with global frequency > n/k must survive the
+    per-partition MG summaries (the guarantee the exact recount relies
+    on) -- checked on a skewed synthetic with far more distinct keys
+    than MG capacity."""
+    from etl_sales_pandas_sqlserver_spark.functions.search import (
+        _misra_gries_candidates,
+    )
+
+    # 10_000 rows: key 7 appears 2000x, key 13 500x, the rest is a
+    # long uniform tail of 7500 distinct singleton-ish keys
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 2000, F.lit(7))
+        .when(F.col("id") < 2500, F.lit(13))
+        .otherwise(F.col("id") + 1000)
+        .cast("long")
+        .alias("user_id")
+    ).repartition(8)
+    k = 16  # threshold n/k = 625: keys 7 (2000) and 13 (500) vs tail
+    cand = {r.user_id for r in _misra_gries_candidates(df, k).collect()}
+    assert 7 in cand  # freq 2000 > 625: MUST be a candidate
+    # 13 (freq 500 < 625) may or may not appear -- no assertion
+    assert len(cand) <= 8 * k  # capacity bound per partition
+
+
+def test_prefix_filter_prunes_postings(spark, sf_small):
+    """The prefix join must (a) return exactly the brute-force pair
+    set -- same frame as the inverted-index baseline -- and (b) ship
+    strictly fewer postings into the candidate join than the full
+    index does: if the prefix ever degenerates to the whole document,
+    the scale story is gone even while results stay correct."""
+    from etl_sales_pandas_sqlserver_spark.functions.dedup import (
+        _doc_shingles,
+        q_jaccard_prefix_filter,
+        q_ngram_jaccard_pairs,
+    )
+
+    got = {
+        (r.a_id, r.b_id)
+        for r in q_jaccard_prefix_filter(spark, sf_small).collect()
+    }
+    want = {
+        (r.a_id, r.b_id)
+        for r in q_ngram_jaccard_pairs(spark, sf_small).collect()
+    }
+    assert got == want and want  # non-empty equality
+
+    sh = _doc_shingles(spark, sf_small)
+    total_postings = sh.select(F.explode("s")).count()
+    # mirror the query's integer prefix length: |s| - ceil(0.9|s|) + 1
+    prefix_postings = sh.select(
+        (
+            F.size("s")
+            - F.floor((F.lit(9) * F.size("s") + F.lit(9)) / F.lit(10))
+            + F.lit(1)
+        ).alias("plen"),
+        F.size("s").alias("n"),
+    ).agg(
+        F.sum(F.least(F.greatest("plen", F.lit(0)), F.col("n"))).alias("p")
+    ).collect()[0].p
+    assert prefix_postings < 0.2 * total_postings
+
+
+def test_zscore_flags_synthetic_spike(spark):
+    """A flat series with one spike: exactly the spike is flagged."""
+    import pandas as pd
+
+    from etl_sales_pandas_sqlserver_spark.plans.temporal_queries import (
+        q_zscore_anomaly,
+    )
+
+    # build a one-user events table in a temp dir shaped like testdata
+    import tempfile
+
+    vals = [10.0] * 30
+    vals[25] = 400.0  # the spike (after the >=10-row warmup window)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(30),
+            "ts": (
+                pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(range(30), unit="min")
+            ).astype("datetime64[us]"),  # testdata stores timestamp[us]
+            "user_id": [1] * 30,
+            "event_type": ["view"] * 30,
+            "value": vals,
+            "props": ["{}"] * 30,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(f"{d}/events.parquet")
+        rows = q_zscore_anomaly(spark, d).collect()
+    assert [r.event_id for r in rows] == [25]
+    assert rows[0].v_cents == 40000
