@@ -339,15 +339,26 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = ex.select(F.col("doc_id").alias("a_id"), "h")
     b = ex.select(F.col("doc_id").alias("b_id"), "h")
+    # |A n B| is symmetric: aggregate each unordered pair ONCE (a<b --
+    # half the join/agg mass of a directed a!=b join), then mirror the
+    # tiny post-agg pair list into both orientations before the
+    # per-side size test.
     common = (
         a.join(b, "h")
-        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(F.col("a_id") < F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    directed = common.unionByName(
+        common.select(
+            F.col("b_id").alias("a_id"),
+            F.col("a_id").alias("b_id"),
+            "common",
+        )
+    )
     na = sizes.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
     return (
-        common.join(na, "a_id")
+        directed.join(na, "a_id")
         .filter(
             F.lit(10) * F.col("common") >= F.lit(_CONTAINMENT_PCT) * F.col("na")
         )

@@ -393,7 +393,121 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Data-quality expectation suite as a registered, hash-checked query:
+# the dbt-test/Great-Expectations surface of operators/quality.py, but
+# with the verdict booleans computed IN-PLAN so the driver's value-hash
+# certifies the whole suite (row count, null fraction, key uniqueness,
+# accepted values, range violations) -- one aggregation job, one scan,
+# then a 5-row unpivot. Measures are integer counts or exact 0/1-sum
+# fractions, so the doubles are bitwise-portable.
+# ---------------------------------------------------------------------------
+
+QUALITY_EXPECTATIONS_SQL = """
+  WITH m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS row_count,
+           AVG(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END)
+             AS null_frac_custkey,
+           CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS DOUBLE)
+             AS dup_orderkeys,
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                          AND o_orderstatus IS NOT NULL
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS bad_status,
+           CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice > 10000000
+                         THEN 1 ELSE 0 END) AS DOUBLE) AS price_viol
+    FROM orders
+  )
+  SELECT 'row_count_gt_0' AS check_name, row_count AS measured,
+         row_count > 0 AS ok FROM m
+  UNION ALL SELECT 'not_null_o_custkey', null_frac_custkey,
+         null_frac_custkey = 0.0 FROM m
+  UNION ALL SELECT 'unique_o_orderkey', dup_orderkeys,
+         dup_orderkeys = 0.0 FROM m
+  UNION ALL SELECT 'accepted_values_o_orderstatus', bad_status,
+         bad_status = 0.0 FROM m
+  UNION ALL SELECT 'range_o_totalprice', price_viol,
+         price_viol = 0.0 FROM m
+  ORDER BY check_name
+"""
+
+
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.agg(
+        F.count(F.lit(1)).cast("double").alias("row_count"),
+        F.avg(F.col("o_custkey").isNull().cast("double")).alias(
+            "null_frac_custkey"
+        ),
+        (
+            F.count("o_orderkey") - F.count_distinct("o_orderkey")
+        )
+        .cast("double")
+        .alias("dup_orderkeys"),
+        F.sum(
+            (
+                ~F.col("o_orderstatus").isin("F", "O", "P")
+                & F.col("o_orderstatus").isNotNull()
+            ).cast("long")
+        )
+        .cast("double")
+        .alias("bad_status"),
+        F.sum(
+            (
+                (F.col("o_totalprice") <= 0)
+                | (F.col("o_totalprice") > 10_000_000)
+            ).cast("long")
+        )
+        .cast("double")
+        .alias("price_viol"),
+    )
+    checks = [
+        ("row_count_gt_0", F.col("row_count"), F.col("row_count") > 0),
+        (
+            "not_null_o_custkey",
+            F.col("null_frac_custkey"),
+            F.col("null_frac_custkey") == 0.0,
+        ),
+        (
+            "unique_o_orderkey",
+            F.col("dup_orderkeys"),
+            F.col("dup_orderkeys") == 0.0,
+        ),
+        (
+            "accepted_values_o_orderstatus",
+            F.col("bad_status"),
+            F.col("bad_status") == 0.0,
+        ),
+        (
+            "range_o_totalprice",
+            F.col("price_viol"),
+            F.col("price_viol") == 0.0,
+        ),
+    ]
+    # explode one array of structs from the single agg row -- a UNION
+    # of five selects over `m` would re-execute the aggregate (or at
+    # best lean on exchange reuse); this is one scan by construction
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check_name"),
+                measured.alias("measured"),
+                ok.alias("ok"),
+            )
+            for name, measured, ok in checks
+        ]
+    )
+    return (
+        m.select(F.explode(structs).alias("c"))
+        .select("c.*")
+        .orderBy("check_name")
+    )
+
+
 ANALYTICS_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
+    "quality_expectations_orders": (
+        q_quality_expectations,
+        QUALITY_EXPECTATIONS_SQL,
+    ),
     "tpch_q1_pricing_summary": (q_tpch_q1, _TPCH_Q1_SQL),
     "join_broadcast_region_acctbal": (q_region_acctbal, _REGION_ACCTBAL_SQL),
     "join_nation_segment_revenue": (q_nation_segment_revenue, _NATION_SEGMENT_REVENUE_SQL),
