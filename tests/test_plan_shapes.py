@@ -255,3 +255,46 @@ def test_broadcast_hints_only_on_bounded_builds():
         "unaudited F.broadcast hint(s) -- prove the build side is bounded "
         f"and extend the allowlist: {violations}"
     )
+
+
+def test_decile_binning_avoids_global_single_partition(spark, sf_small):
+    """Exact ntile must NOT plan the naive global window (one task
+    sorting the whole table): the distributed-rank shape allows a
+    single-partition funnel only on the per-partition count aggregate,
+    exactly like the training-order pin."""
+    fn, _ = QUERIES["decile_stats_order_price"]
+    plan = _physical(fn(spark, sf_small))
+    assert "MapInPandas" in plan
+    lines = plan.splitlines()
+    funnels = [
+        i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln
+    ]
+    # two bounded funnels are expected: the offsets window (over the
+    # per-partition count rows) and the scalar grand-total aggregate
+    # (over partial sums of those same count rows) -- both carry
+    # |partitions| rows, never data
+    assert len(funnels) <= 2, "extra global funnel appeared"
+    for i in funnels:
+        child = lines[i + 1]
+        bounded = "HashAggregate(keys=[pid" in child or (
+            "HashAggregate(keys=[]" in child and "partial_" in child
+        )
+        assert bounded, child
+
+
+def test_heavy_hitters_counts_only_candidates(spark, sf_small):
+    """The exact recount must run AFTER the Misra-Gries candidate
+    semi-join -- a full-universe groupBy before the semi-join would be
+    the naive shuffle the two-pass design exists to avoid. Pin: the
+    user_id-keyed aggregate's subtree contains the LeftSemi join (plan
+    prints children below parents, so the semi-join text must appear
+    AFTER the first keyed aggregate line)."""
+    fn, _ = QUERIES["heavy_hitters_users"]
+    plan = _physical(fn(spark, sf_small))
+    assert "LeftSemi" in plan
+    keyed = plan.find("HashAggregate(keys=[user_id")
+    semi = plan.find("LeftSemi")
+    assert keyed != -1 and semi > keyed, (
+        "exact count aggregate is not downstream of the candidate "
+        "semi-join"
+    )
