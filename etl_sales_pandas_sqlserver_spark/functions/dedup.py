@@ -1499,10 +1499,19 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     sh = managed_cache(_doc_shingles(spark, sf_dir))
-    ex = sh.select("doc_id", F.explode("s").alias("shingle"))
-    df_tbl = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = ex.join(df_tbl, "shingle").withColumn(
+    # hash INSIDE the array once; every downstream shuffle (df agg,
+    # rank window, candidate join) then carries (doc_id, int64) rows,
+    # never 3-word shingle strings. (df, hash) is still a shared TOTAL
+    # order over the shingle universe, which is all prefix-filter
+    # completeness requires; a 2^-64 hash collision merges two items'
+    # df counts, which can only ADD candidates, never lose a pair.
+    ex = sh.select(
+        "doc_id",
+        F.explode(F.expr("transform(s, x -> xxhash64(x))")).alias("sh_hash"),
+    )
+    df_tbl = ex.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "sh_hash")
+    ranked = ex.join(df_tbl, "sh_hash").withColumn(
         "pos", F.row_number().over(w)
     )
     sizes = sh.select("doc_id", F.size("s").alias("n_sh"))
@@ -1514,7 +1523,7 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = (
         ranked.join(sizes, "doc_id")
         .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", F.xxhash64("shingle").alias("sh_hash"))
+        .select("doc_id", "sh_hash")
     )
     a = prefix.select(F.col("doc_id").alias("a_id"), "sh_hash")
     b = prefix.select(F.col("doc_id").alias("b_id"), "sh_hash")

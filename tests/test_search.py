@@ -119,3 +119,18 @@ def test_zscore_flags_synthetic_spike(spark):
         rows = q_zscore_anomaly(spark, d).collect()
     assert [r.event_id for r in rows] == [25]
     assert rows[0].v_cents == 40000
+
+
+def test_pair_feed_memoized_per_session(spark, sf_small):
+    """The dedup family's shared pair feed must return the SAME
+    checkpointed frame for repeated same-session calls (that is the
+    whole optimization) and recompute per sf_dir."""
+    from etl_sales_pandas_sqlserver_spark.functions.dedup import (
+        minhash_verified_pairs,
+    )
+
+    a = minhash_verified_pairs(spark, sf_small)
+    b = minhash_verified_pairs(spark, sf_small)
+    assert a is b
+    other = minhash_verified_pairs(spark, "/root/testdata/sf0.01")
+    assert other is not a
