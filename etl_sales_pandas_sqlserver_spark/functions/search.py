@@ -306,8 +306,99 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LM-quality document ranking: the actual curation USE of the bigram
+# stats -- score each document by the mean corpus-conditional
+# probability of its bigrams; documents full of improbable bigrams
+# (mojibake, shredded markup, word salad) sink to the bottom and a
+# pipeline drops the tail. All arithmetic is integer: each bigram
+# contributes (c12 * 10^6) div c1 parts-per-million, the per-doc sum
+# and final mean are integer divisions -- no float accumulation order,
+# no log. Joins shuffle (doc_id, bigram-hash) ints; the global bigram
+# table is corpus-vocabulary sized (size-based planning, no forced
+# broadcast).
+# ---------------------------------------------------------------------------
+
+LM_QUALITY_SQL = """
+  WITH toks AS (
+    SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
+    FROM documents
+  ),
+  db AS (
+    SELECT doc_id,
+           UNNEST([hash(w[i] || chr(30) || w[i+1])
+                   for i in range(1, len(w))]) AS bh
+    FROM toks WHERE len(w) >= 2
+  ),
+  pairs AS (
+    SELECT bh, CAST(COUNT(*) AS BIGINT) AS c12 FROM db GROUP BY 1
+  ),
+  -- unigram prefix totals need the prefix word, not the pair hash:
+  uni AS (
+    SELECT hw1, CAST(COUNT(*) AS BIGINT) AS c1 FROM (
+      SELECT hash(w[i]) AS hw1
+      FROM toks, UNNEST(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2
+    ) GROUP BY 1
+  ),
+  scored AS (
+    SELECT d.doc_id,
+           (p.c12 * 1000000) // u.c1 AS ppm
+    FROM (
+      SELECT doc_id,
+             UNNEST([hash(w[i] || chr(30) || w[i+1])
+                     for i in range(1, len(w))]) AS bh,
+             UNNEST([hash(w[i]) for i in range(1, len(w))]) AS hw1
+      FROM toks WHERE len(w) >= 2
+    ) d
+    JOIN pairs p ON p.bh = d.bh
+    JOIN uni u ON u.hw1 = d.hw1
+  )
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
+  FROM scored GROUP BY doc_id
+  ORDER BY doc_id
+"""
+
+
+def q_lm_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    # both hashes built in-array; only (doc_id, int64, int64) shuffles.
+    # chr(30) (record separator) keeps "ab c"+"d" distinct from
+    # "ab"+"c d" in the pair hash on both engines.
+    db = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), i -> named_struct("
+                "'bh', xxhash64(concat(w[i-1], char(30), w[i])), "
+                "'hw1', xxhash64(w[i-1])))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.bh").alias("bh"), F.col("p.hw1").alias("hw1"))
+    pairs = db.groupBy("bh").agg(F.count(F.lit(1)).alias("c12"))
+    uni = db.groupBy("hw1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        db.join(pairs, "bh")
+        .join(uni, "hw1")
+        .select("doc_id", F.expr("(c12 * 1000000) div c1").alias("ppm"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr("sum(ppm) div count(1)").alias("lm_score_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 SEARCH_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "text_bm25_search": (q_bm25_search, BM25_SEARCH_SQL),
     "text_bigram_lm": (q_bigram_lm, BIGRAM_LM_SQL),
+    "text_lm_quality_rank": (q_lm_quality_rank, LM_QUALITY_SQL),
     "heavy_hitters_users": (q_heavy_hitters_users, HEAVY_HITTERS_SQL),
 }

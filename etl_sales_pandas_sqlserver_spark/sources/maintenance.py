@@ -56,3 +56,61 @@ def read_parquet_merged_schema(spark: SparkSession, path: str) -> DataFrame:
     before them. mergeSchema costs one footer read per distinct file
     schema at planning; per-file pushdown and pruning still apply."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def zorder_write(
+    df: "DataFrame",
+    path: str,
+    cols: "list[str]",
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Rewrite a table with rows clustered along a Z-order (Morton)
+    curve over ``cols`` -- the Delta/Iceberg OPTIMIZE ZORDER layout
+    primitive. Multi-dimensional range queries then touch a small
+    fraction of files, and parquet min/max row-group stats prune on
+    EVERY z-ordered column instead of only the first sort key.
+
+    Each column is rank-normalized to ``bits`` bits (percent_rank over
+    a sample-free exact window would be a global sort, so this uses the
+    scalable approximation: min/max-scaled value -- adequate for layout,
+    which only needs monotonicity), then the bit-interleaved key is
+    built with an integer loop expression and the frame is
+    range-partitioned + sorted by it. All layout decisions are
+    deterministic; results of downstream queries never depend on them.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"__min_{c}") for c in cols],
+        *[F.max(c).alias(f"__max_{c}") for c in cols],
+    )
+    staged = df.crossJoin(F.broadcast(stats))
+    scaled = []
+    for c in cols:
+        lo, hi = F.col(f"__min_{c}").cast("double"), F.col(
+            f"__max_{c}"
+        ).cast("double")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        q = (
+            ((F.col(c).cast("double") - lo) / span)
+            * F.lit((1 << bits) - 1)
+        ).cast("bigint")
+        scaled.append(q)
+    # interleave bits: z = sum over b,i of bit(q_i, b) << (b*len+i)
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, q in enumerate(scaled):
+            z = z + (
+                F.shiftleft(
+                    F.shiftright(q, b) % 2, b * len(cols) + i
+                ).cast("bigint")
+            )
+    (
+        staged.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

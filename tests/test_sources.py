@@ -265,3 +265,49 @@ def test_csv_bad_records_survive_cache_release(spark, tmp_path):
     release_caches()
     assert [r.raw_record for r in bad.collect()] == ["bad-row,xx"]
     assert {(r.id, r.amount) for r in good.collect()} == {(1, 10.5)}
+
+
+def test_zorder_write_clusters_both_dims(spark, tmp_path, sf_small):
+    """Z-ordered layout: a range predicate on EITHER z-ordered column
+    must be satisfiable from a strict subset of files (per-file min/max
+    spans are narrow on both dims), which a single-column sort can't
+    deliver for the second column."""
+    from pyspark.sql import functions as F
+
+    from etl_sales_pandas_sqlserver_spark.sources.maintenance import (
+        zorder_write,
+    )
+    from etl_sales_pandas_sqlserver_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = str(tmp_path / "z")
+    zorder_write(orders, out, ["o_custkey", "o_totalprice"], n_files=8)
+
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("span_c"),
+            (F.max("o_totalprice") - F.min("o_totalprice")).alias("span_p"),
+        )
+        .collect()
+    )
+    assert len(per_file) > 1
+    full_c = orders.agg(
+        F.max("o_custkey") - F.min("o_custkey")
+    ).collect()[0][0]
+    full_p = orders.agg(
+        F.max("o_totalprice") - F.min("o_totalprice")
+    ).collect()[0][0]
+    # MEAN per-file span must be well under the full range on BOTH
+    # dims (a plain sort by custkey would leave mean span_p ~= full
+    # range). Individual files MAY span a whole dim -- Morton order
+    # necessarily crosses major bit boundaries somewhere.
+    mean_c = sum(r.span_c for r in per_file) / len(per_file)
+    mean_p = sum(r.span_p for r in per_file) / len(per_file)
+    assert mean_c < 0.7 * full_c, (mean_c, full_c)
+    assert mean_p < 0.7 * full_p, (mean_p, full_p)
+    # and the rewrite loses no rows
+    assert spark.read.parquet(out).count() == orders.count()
