@@ -516,7 +516,65 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("user_id", "session_start_us")
 
 
+# ---------------------------------------------------------------------------
+# 8. Streaming top-k: the canonical two-layer dashboard pattern.
+# Ranking is not allowed inside an append/update streaming plan (it
+# would re-rank on every batch), so the STREAM maintains the
+# watermark-bounded windowed counts and the top-k is a BATCH window
+# query over the (tiny, one row per (hour, type)) sink table. At scale
+# the streaming layer's state is bounded by open windows and the
+# ranking layer reads aggregated rows only -- never events.
+# ---------------------------------------------------------------------------
+
+_STREAM_TOPK_K = 2
+
+STREAM_TOPK_SQL = f"""
+  WITH counts AS (
+    SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+  )
+  SELECT hour_bucket, event_type, n_events, rn
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY hour_bucket
+      ORDER BY n_events DESC, event_type ASC) AS rn
+    FROM counts)
+  WHERE rn <= {_STREAM_TOPK_K}
+  ORDER BY hour_bucket, rn
+"""
+
+
+def q_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.expr("unix_micros(window.start) div 3600000000").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+            "n_events",
+        )
+    )
+    with shuffle_partitions(spark, 8):
+        counts = _run_to_table(spark, agg, "complete")
+    w = Window.partitionBy("hour_bucket").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _STREAM_TOPK_K)
+        .orderBy("hour_bucket", "rn")
+    )
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
+    "stream_topk_types_per_hour": (q_stream_topk_types, STREAM_TOPK_SQL),
     "stream_session_window_native": (
         q_stream_session_window,
         STREAM_SESSION_WINDOW_SQL,
