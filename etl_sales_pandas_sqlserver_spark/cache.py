@@ -32,9 +32,46 @@ sources/csv_folder.read_csv_with_bad_records).
 
 from __future__ import annotations
 
+import weakref
+from typing import Callable, Hashable
+
 from pyspark.sql import DataFrame
 
 _ACTIVE: list[DataFrame] = []
+
+# ---------------------------------------------------------------------------
+# Session-scoped eager-checkpoint memo (round 7): several query
+# families re-derive the same expensive intermediate in every query of
+# a serial sweep (the LSH-verified pair list; the synthetic sales_raw
+# frame and its cleaned output). The memo computes it once per (live
+# SparkSession, key), eagerly localCheckpoints it (lineage severed, so
+# later cache churn can't invalidate it), and hands the SAME frame to
+# every same-session consumer. Weak-keyed by the session object: a new
+# session recomputes, a stopped-but-alive one is detected and evicted,
+# so the driver's independent per-query invocations stay correct.
+# Unlike managed_cache, nothing here is ever released mid-sweep -- only
+# use it for intermediates whose checkpointed size is small relative
+# to executor memory.
+# ---------------------------------------------------------------------------
+
+_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def session_checkpoint_memo(
+    spark, key: Hashable, builder: Callable[[], DataFrame]
+) -> DataFrame:
+    per = _MEMO.setdefault(spark, {})
+    df = per.get(key)
+    if df is not None:
+        try:
+            if not spark.sparkContext._jsc.sc().isStopped():
+                return df
+        except Exception:  # noqa: BLE001 -- dead JVM handle: rebuild
+            pass
+        per.pop(key, None)
+    df = builder().localCheckpoint(eager=True)
+    per[key] = df
+    return df
 
 
 def managed_cache(

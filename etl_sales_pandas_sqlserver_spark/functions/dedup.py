@@ -49,7 +49,6 @@ expressions, codegen-friendly.
 
 from __future__ import annotations
 
-import weakref
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -625,31 +624,21 @@ def _minhash_signature(ex: DataFrame) -> DataFrame:
 # consume the LSH-verified pair list (dedup_minhash_lsh itself,
 # clusters, incremental batch, triangle census), and each paid the full
 # ~2.2s shingle->band pipeline independently in a serial sweep. The
-# feed is computed ONCE per (live session, sf_dir) and eagerly
-# localCheckpoint'ed -- the result is a few thousand int-pair rows, so
-# the pinned blocks are negligible while the recompute is the dominant
-# cost of the whole dedup family. Keyed weakly by the SparkSession
-# object (a new session recomputes; a stopped-but-alive session is
-# detected and evicted), so the driver's independent per-query
-# invocations stay correct -- only same-session repeats get the reuse.
-_PAIR_FEED: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
+# feed is computed ONCE per (live session, sf_dir) via the shared
+# session_checkpoint_memo (eager localCheckpoint, weak-keyed by the
+# SparkSession; see cache.py) -- the result is a few thousand int-pair
+# rows, so the pinned blocks are negligible while the recompute is the
+# dominant cost of the whole dedup family.
 
 
 def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per = _PAIR_FEED.setdefault(spark, {})
-    df = per.get(sf_dir)
-    if df is not None:
-        try:
-            if not spark.sparkContext._jsc.sc().isStopped():
-                return df
-        except Exception:  # noqa: BLE001 -- dead JVM handle: rebuild
-            pass
-        per.pop(sf_dir, None)
-    df = _minhash_pairs_plan(spark, sf_dir).localCheckpoint(eager=True)
-    per[sf_dir] = df
-    return df
+    from ..cache import session_checkpoint_memo
+
+    return session_checkpoint_memo(
+        spark,
+        ("minhash_pairs", sf_dir),
+        lambda: _minhash_pairs_plan(spark, sf_dir),
+    )
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

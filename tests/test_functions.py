@@ -429,6 +429,7 @@ def test_managed_cache_releases_prior_queries_caches(spark, sf_small):
     """Constructing a new cache-using query must unpersist the caches
     the previous one registered (round-5 advice: serial driver sweeps
     accumulated every query's shingle/exact-set cache)."""
+    from etl_sales_pandas_sqlserver_spark import cache
     from etl_sales_pandas_sqlserver_spark.cache import (
         _ACTIVE,
         managed_cache,
@@ -439,6 +440,11 @@ def test_managed_cache_releases_prior_queries_caches(spark, sf_small):
     )
 
     release_caches()
+    # evict the session pair-feed memo: a memo hit would skip plan
+    # construction entirely and register no cache, which is exactly
+    # the (desired) behavior this test must bypass to see the
+    # construction-time release mechanism
+    cache._MEMO.pop(spark, None)
     # mechanism, on frames with DISTINCT canonicalized plans (alias
     # names are erased by canonicalization, so same-shape frames would
     # share one cache entry and mask the release)

@@ -133,11 +133,12 @@ def main() -> int:
         best = float("inf")
         for _ in range(passes):
             spark.catalog.clearCache()
-            from etl_sales_pandas_sqlserver_spark.cache import release_caches
-            from etl_sales_pandas_sqlserver_spark.functions import dedup
+            from etl_sales_pandas_sqlserver_spark import cache
 
-            release_caches()
-            dedup._PAIR_FEED.pop(spark, None)
+            cache.release_caches()
+            # evict ALL session memos (pair feed, sales frames) so
+            # every pass pays the full family cost
+            cache._MEMO.pop(spark, None)
             t0 = time.perf_counter()
             for name in names:
                 q[name](spark, sf_dir).collect()
