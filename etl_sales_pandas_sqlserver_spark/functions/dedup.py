@@ -116,10 +116,23 @@ _EXACT_JACCARD_PAIRS_SQL = f"""
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
-    ).select("doc_id", F.expr(_SHINGLES_EXPR).alias("s"))
+    """Session-memoized checkpointed shingle frame. Six registered
+    dedup queries start from this exact frame; before round 7 each
+    rebuilt it (text scan + split + in-array shingle transform,
+    ~0.8s/query at sf0.1) behind its own managed_cache. The memoized
+    eager checkpoint (see cache.session_checkpoint_memo) materializes
+    it once per (live session, sf_dir) -- a few MB of string arrays --
+    and every consumer reads the severed-lineage frame, which also
+    retires the per-query cache registrations for it."""
+    from ..cache import session_checkpoint_memo
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+        ).select("doc_id", F.expr(_SHINGLES_EXPR).alias("s"))
+
+    return session_checkpoint_memo(spark, ("doc_shingles", sf_dir), build)
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
@@ -259,10 +272,9 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cached: FOUR consumers (both self-join sides, both size joins);
-    # measured A/B at sf0.1 says recomputing the shingle pipeline for
-    # each beats the cache only when there are <= 2 consumers
-    sh = managed_cache(_doc_shingles(spark, sf_dir))
+    # the shingle frame is a session-memoized checkpoint (four
+    # consumers here: both self-join sides, both size joins)
+    sh = _doc_shingles(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("s").alias("n"))
     # inverted index: ship 64-bit hashes through the shuffle, not text.
     # Hash INSIDE the array then explode the precomputed longs: a
@@ -328,7 +340,7 @@ CONTAINMENT_SQL = f"""
 
 
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = managed_cache(_doc_shingles(spark, sf_dir))
+    sh = _doc_shingles(spark, sf_dir)
     sizes = sh.select("doc_id", F.size("s").alias("n")).filter(
         F.col("n") > 0
     )
@@ -646,8 +658,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cached: consumed by the signature pipeline AND the verify join
-    sh = managed_cache(_doc_shingles(spark, sf_dir))
+    # shingle checkpoint consumed by the signature pipeline AND the
+    # verify join
+    sh = _doc_shingles(spark, sf_dir)
     # both base hashes computed in-array, exploded as precomputed
     # structs (see q_ngram_jaccard_pairs)
     ex = sh.select(
@@ -1487,7 +1500,7 @@ def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    sh = managed_cache(_doc_shingles(spark, sf_dir))
+    sh = _doc_shingles(spark, sf_dir)
     # hash INSIDE the array once; every downstream shuffle (df agg,
     # rank window, candidate join) then carries (doc_id, int64) rows,
     # never 3-word shingle strings. (df, hash) is still a shared TOTAL

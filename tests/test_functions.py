@@ -436,14 +436,14 @@ def test_managed_cache_releases_prior_queries_caches(spark, sf_small):
         release_caches,
     )
     from etl_sales_pandas_sqlserver_spark.functions.dedup import (
-        q_minhash_lsh_pairs,
+        q_decontaminate_bloom,
     )
 
     release_caches()
-    # evict the session pair-feed memo: a memo hit would skip plan
-    # construction entirely and register no cache, which is exactly
-    # the (desired) behavior this test must bypass to see the
-    # construction-time release mechanism
+    # evict the session memos (shingle frame, pair feed): a memo hit
+    # skips plan construction and registers no cache -- desired in
+    # production, but this test must see the construction-time
+    # release mechanism
     cache._MEMO.pop(spark, None)
     # mechanism, on frames with DISTINCT canonicalized plans (alias
     # names are erased by canonicalization, so same-shape frames would
@@ -457,8 +457,10 @@ def test_managed_cache_releases_prior_queries_caches(spark, sf_small):
     assert b.storageLevel.useMemory
     assert len(_ACTIVE) == 1 and _ACTIVE[0] is b
 
-    # the real cache-using queries register exactly one cache each
-    q1 = q_minhash_lsh_pairs(spark, sf_small)
+    # a real cache-using query (the bloom bitmap build -- since the
+    # shingle/pair frames moved to session memos it is the remaining
+    # managed_cache user in dedup) registers exactly one cache
+    q1 = q_decontaminate_bloom(spark, sf_small)
     q1.count()
     assert len(_ACTIVE) == 1 and _ACTIVE[0] is not b
     assert not b.storageLevel.useMemory
