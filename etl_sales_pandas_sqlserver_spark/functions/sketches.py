@@ -148,7 +148,112 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch table: the FREQUENCY sibling of the HLL table.
+# Per event_type, a CMS over user_id answers "how often did user X do
+# Y" without a per-(type,user) aggregate of the raw table; CMS merge
+# is exact counter addition, so per-day sketches roll up losslessly
+# like the HLL table. Spark ships the CMS aggregate
+# (F.count_min_sketch) but no union aggregate or probe expression, so
+# the rollup/probe layer here runs on the DRIVER over the collected
+# sketch table -- legitimate, because the sketch table is
+# broadcast-size BY DESIGN (|event_types| x |days| binaries of a few
+# KiB) no matter how large raw events grow; raw data is never
+# collected.
+#
+# Contract (hash-checked): for every (event_type, probe user) pair,
+# emit the exact hit count (oracle-reproducible) plus booleans:
+#   est_ge_ok        CMS never underestimates (structural guarantee),
+#   est_le_ok        est <= exact + eps * N_type (the probabilistic
+#                    bound, deterministic here given the fixed seed),
+#   merge_lossless_ok  merging the per-day sketches gives the same
+#                    estimate as sketching the whole type directly.
+# ---------------------------------------------------------------------------
+
+_CMS_EPS = 0.005
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+_CMS_PROBE_USERS = 8
+
+CMS_CONTRACT_SQL = f"""
+  WITH tot AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_type
+    FROM events GROUP BY 1
+  )
+  SELECT e.event_type, e.user_id,
+         CAST(COUNT(*) AS BIGINT) AS exact_hits,
+         TRUE AS est_ge_ok, TRUE AS est_le_ok, TRUE AS merge_lossless_ok
+  FROM events e JOIN tot t ON t.event_type = e.event_type
+  WHERE e.user_id < {_CMS_PROBE_USERS}
+  GROUP BY 1, 2
+  ORDER BY 1, 2
+"""
+
+
+def q_cms_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _with_day_bucket(load_table(spark, sf_dir, "events"))
+    cms_args = (F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED))
+    daily = (
+        ev.groupBy("event_type", "day_bucket")
+        .agg(F.count_min_sketch("user_id", *cms_args).alias("sk"))
+        .collect()
+    )
+    direct = {
+        r.event_type: bytes(r.sk)
+        for r in ev.groupBy("event_type")
+        .agg(F.count_min_sketch("user_id", *cms_args).alias("sk"))
+        .collect()
+    }
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = {}
+    for r in daily:
+        sk = jcms.readFrom(bytes(r.sk))
+        if r.event_type in merged:
+            merged[r.event_type].mergeInPlace(sk)
+        else:
+            merged[r.event_type] = sk
+    probes = []  # (event_type, user_id, merged_est, lossless)
+    for etype, sk in merged.items():
+        d = jcms.readFrom(direct[etype])
+        for uid in range(_CMS_PROBE_USERS):
+            probes.append(
+                (
+                    etype,
+                    uid,
+                    int(sk.estimateCount(uid)),
+                    int(sk.estimateCount(uid)) == int(d.estimateCount(uid)),
+                )
+            )
+    est_df = spark.createDataFrame(
+        probes, "event_type string, user_id long, est long, lossless boolean"
+    )
+    exact = (
+        ev.filter(F.col("user_id") < _CMS_PROBE_USERS)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("exact_hits"))
+    )
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    return (
+        exact.join(F.broadcast(est_df), ["event_type", "user_id"])
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "user_id",
+            "exact_hits",
+            (F.col("est") >= F.col("exact_hits")).alias("est_ge_ok"),
+            (
+                F.col("est").cast("double")
+                <= F.col("exact_hits").cast("double")
+                + F.lit(_CMS_EPS) * F.col("n_type").cast("double")
+            ).alias("est_le_ok"),
+            F.col("lossless").alias("merge_lossless_ok"),
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
 SKETCH_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "sketch_daily_distinct_users": (q_sketch_daily, DAILY_SKETCH_SQL),
     "sketch_rollup_distinct_users": (q_sketch_rollup, ROLLUP_SKETCH_SQL),
+    "sketch_cms_user_hits_contract": (q_cms_contract, CMS_CONTRACT_SQL),
 }

@@ -220,6 +220,8 @@ _BROADCAST_ALLOWED_NAMES = {
     "offsets",    # one row per shuffle partition (config-bounded)
     "exact",      # exact top-k pairs for the capped 8-query ANN batch
     "df_row",     # single row of per-query-term document frequencies
+    "est_df",     # |event_types| x 8 probe rows from the CMS contract
+    "totals",     # one row per event type (fixed small domain)
 }
 
 
