@@ -573,7 +573,77 @@ def q_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 9. Streaming sketch-table ingest: the incremental build path the HLL
+# sketch table (functions/sketches.py) is designed around -- each
+# micro-batch folds its users into the per-(event_type, day) HLL
+# state; HLL union is associative and insensitive to batch slicing, so
+# the streamed sketch estimate equals the batch-built one exactly.
+# The contract emits the exact distinct count (oracle-reproducible)
+# plus the error-bound boolean, like the batch sketch queries.
+# ---------------------------------------------------------------------------
+
+STREAM_SKETCH_SQL = """
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_bucket,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+         TRUE AS est_ok
+  FROM events
+  GROUP BY 1, 2
+  ORDER BY 1, 2
+"""
+
+
+def q_stream_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events_stream(spark, sf_dir)
+    # the STREAM maintains only the mergeable sketch state (a distinct
+    # aggregate is not allowed on a stream -- and not needed: that is
+    # what the sketch is for); the exact count for the CONTRACT comes
+    # from a batch read after the finite replay.
+    agg = (
+        ev.withWatermark("event_time", "1 day")
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(event_time) div 86400000000").alias(
+                "day_bucket"
+            ),
+        )
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(14))
+            ).alias("est")
+        )
+    )
+    with shuffle_partitions(spark, 8):
+        out = _run_to_table(spark, agg, "complete")
+    from ..sources.testdata import load_table
+
+    from ..operators.dates import epoch_us
+
+    batch = load_table(spark, sf_dir, "events")
+    exact = (
+        batch.withColumn("ts_us", epoch_us(batch, "ts"))
+        .groupBy(
+            "event_type",
+            F.expr("ts_us div 86400000000").alias("day_bucket"),
+        )
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    est_ok = (
+        F.abs(F.col("est") - F.col("exact_users").cast("double"))
+        <= F.col("exact_users").cast("double") * 0.02 + 0.5
+    )
+    return (
+        out.join(exact, ["event_type", "day_bucket"])
+        .select(
+            "event_type", "day_bucket", "exact_users", est_ok.alias("est_ok")
+        )
+        .orderBy("event_type", "day_bucket")
+    )
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
+    "stream_sketch_daily_users": (q_stream_sketch_daily, STREAM_SKETCH_SQL),
     "stream_topk_types_per_hour": (q_stream_topk_types, STREAM_TOPK_SQL),
     "stream_session_window_native": (
         q_stream_session_window,
