@@ -1306,6 +1306,107 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: DuckDB oracle: transitive closure by recursive CTE (reach set per
 #: node), cluster_id = min(node, min reachable node). Exponential-ish
 #: on big components but exact at test scale.
+# ---------------------------------------------------------------------------
+# 9b. PageRank over the dup graph -- the iterative-algorithm showcase,
+# made EXACTLY oracle-checkable by working in integer parts-per-million
+# with floored divisions: 5 fixed iterations of
+#   p'(v) = 150000 + (850000 * sum_{u->v}(p(u) div outdeg(u))) div 10^6
+# are deterministic on both engines (floor div on non-negative BIGINTs
+# is `div` in Spark and `//` in DuckDB), so the driver hash-compares
+# the per-node ranks bit-for-bit -- no float fixed point, no
+# convergence tolerance. The flooring makes this a deterministic
+# fixed-point APPROXIMATION of damped PageRank (error < 1 ppm per
+# node-iteration), which is the right trade for a verifiable engine
+# primitive. Spark side: one join+agg per iteration over the memoized
+# pair feed, localCheckpoint per round so plans stay flat (the
+# cluster_components pattern); per-iteration sums are bounded by
+# in-degree * 10^6, safely inside BIGINT for the bounded-degree dup
+# graphs this runs on. Oracle: the same five iterations UNROLLED as
+# CTEs over the brute-force dup pairs.
+# ---------------------------------------------------------------------------
+
+_PAGERANK_ITERS = 5
+
+
+def _pagerank_sql() -> str:
+    base = f"""
+  edges AS (
+    SELECT a_id AS s, b_id AS d FROM dup
+    UNION ALL SELECT b_id AS s, a_id AS d FROM dup
+  ),
+  deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY s),
+  it0 AS (SELECT s AS v, CAST(1000000 AS BIGINT) AS p FROM deg)"""
+    its = []
+    for i in range(1, _PAGERANK_ITERS + 1):
+        its.append(
+            f"""
+  it{i} AS (
+    SELECT e.d AS v,
+           150000 + (850000 * SUM(r.p // g.outdeg)) // 1000000 AS p
+    FROM edges e JOIN it{i - 1} r ON r.v = e.s JOIN deg g ON g.s = e.s
+    GROUP BY e.d)"""
+        )
+    return (
+        f"WITH {_SHINGLES_CTE},\n"
+        + """
+  dup AS (
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= """
+        + str(_JACCARD_THRESHOLD)
+        + "),"
+        + base
+        + ","
+        + ",".join(its)
+        + f"""
+  SELECT v AS doc_id, CAST(p AS BIGINT) AS rank_ppm
+  FROM it{_PAGERANK_ITERS} ORDER BY doc_id"""
+    )
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
+def q_pagerank_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_verified_pairs(spark, sf_dir).select("a_id", "b_id")
+    edges = pairs.select(
+        F.col("a_id").alias("s"), F.col("b_id").alias("d")
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("d"))
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges+degree are reused every iteration: checkpoint once
+    ed = (
+        edges.join(deg, "s")
+        .select("s", "d", "outdeg")
+        .localCheckpoint(eager=True)
+    )
+    ranks = deg.select(
+        F.col("s").alias("v"), F.lit(1_000_000).cast("bigint").alias("p")
+    ).localCheckpoint(eager=True)
+    for _ in range(_PAGERANK_ITERS):
+        contrib = ed.join(ranks, ed.s == ranks.v).select(
+            "d", F.expr("p div outdeg").alias("c")
+        )
+        ranks = (
+            contrib.groupBy(F.col("d").alias("v"))
+            .agg(
+                (
+                    F.lit(150_000)
+                    + F.expr("(850000 * sum(c)) div 1000000")
+                )
+                .cast("bigint")
+                .alias("p")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("v").alias("doc_id"), F.col("p").alias("rank_ppm")
+    ).orderBy("doc_id")
+
+
 CLUSTER_COMPONENTS_SQL = f"""
   WITH RECURSIVE {_SHINGLES_CTE},
   dup AS (
@@ -1544,6 +1645,7 @@ QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
         _EXACT_JACCARD_PAIRS_SQL,
     ),
     "dedup_containment_pairs": (q_containment_pairs, CONTAINMENT_SQL),
+    "graph_pagerank_dup": (q_pagerank_dup, PAGERANK_SQL),
     "dedup_exact": (q_exact_dedup, EXACT_DEDUP_SQL),
     "dedup_repeated_spans": (q_repeated_spans, REPEATED_SPANS_SQL),
     "dedup_ngram_jaccard": (q_ngram_jaccard_pairs, _EXACT_JACCARD_PAIRS_SQL),
