@@ -406,15 +406,18 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_EXPECTATIONS_SQL = """
   WITH m AS (
     SELECT CAST(COUNT(*) AS DOUBLE) AS row_count,
-           AVG(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END)
-             AS null_frac_custkey,
+           COALESCE(AVG(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END),
+                    0.0) AS null_frac_custkey,
            CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS DOUBLE)
              AS dup_orderkeys,
-           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
-                          AND o_orderstatus IS NOT NULL
-                         THEN 1 ELSE 0 END) AS DOUBLE) AS bad_status,
-           CAST(SUM(CASE WHEN o_totalprice <= 0 OR o_totalprice > 10000000
-                         THEN 1 ELSE 0 END) AS DOUBLE) AS price_viol
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                                    AND o_orderstatus IS NOT NULL
+                                   THEN 1 ELSE 0 END), 0) AS DOUBLE)
+             AS bad_status,
+           CAST(COALESCE(SUM(CASE WHEN o_totalprice <= 0
+                                    OR o_totalprice > 10000000
+                                   THEN 1 ELSE 0 END), 0) AS DOUBLE)
+             AS price_viol
     FROM orders
   )
   SELECT 'row_count_gt_0' AS check_name, row_count AS measured,
@@ -435,27 +438,35 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     m = orders.agg(
         F.count(F.lit(1)).cast("double").alias("row_count"),
-        F.avg(F.col("o_custkey").isNull().cast("double")).alias(
-            "null_frac_custkey"
-        ),
+        # coalesce: empty input -> 0 nulls seen -> vacuous pass (dbt
+        # semantics); the row-count check is what fails on empty
+        F.coalesce(
+            F.avg(F.col("o_custkey").isNull().cast("double")), F.lit(0.0)
+        ).alias("null_frac_custkey"),
         (
             F.count("o_orderkey") - F.count_distinct("o_orderkey")
         )
         .cast("double")
         .alias("dup_orderkeys"),
-        F.sum(
-            (
-                ~F.col("o_orderstatus").isin("F", "O", "P")
-                & F.col("o_orderstatus").isNotNull()
-            ).cast("long")
+        F.coalesce(
+            F.sum(
+                (
+                    ~F.col("o_orderstatus").isin("F", "O", "P")
+                    & F.col("o_orderstatus").isNotNull()
+                ).cast("long")
+            ),
+            F.lit(0),
         )
         .cast("double")
         .alias("bad_status"),
-        F.sum(
-            (
-                (F.col("o_totalprice") <= 0)
-                | (F.col("o_totalprice") > 10_000_000)
-            ).cast("long")
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("o_totalprice") <= 0)
+                    | (F.col("o_totalprice") > 10_000_000)
+                ).cast("long")
+            ),
+            F.lit(0),
         )
         .cast("double")
         .alias("price_viol"),

@@ -59,6 +59,21 @@ _REPRESENTATIVES = [
     "multimodal_audio_chunks",
     "fuzzy_join_customer_names",
     "dedup_triangle_census",
+    # round-7 additions
+    "dedup_jaccard_prefix_filter",
+    "dedup_containment_pairs",
+    "graph_pagerank_dup",
+    "text_bm25_search",
+    "text_bigram_lm",
+    "text_lm_quality_rank",
+    "heavy_hitters_users",
+    "window_zscore_anomaly",
+    "window_distinct_types_1h",
+    "decile_stats_order_price",
+    "quality_expectations_orders",
+    "sketch_cms_user_hits_contract",
+    "stream_topk_types_per_hour",
+    "stream_sketch_daily_users",
 ]
 
 
@@ -75,7 +90,13 @@ def empty_sf(sf_small, tmp_path_factory) -> str:
 
 #: contract queries emit one static row per variant even on an empty
 #: corpus (vacuously true floors) -- that IS their designed behavior
-_EXPECTED_EMPTY_ROWS = {"similarity_ann_recall_contract": 3}
+_EXPECTED_EMPTY_ROWS = {
+    "similarity_ann_recall_contract": 3,
+    # the expectation suite REPORTS on empty input: 5 check rows, with
+    # row_count_gt_0 correctly failing -- that is the designed loud
+    # failure, not a crash
+    "quality_expectations_orders": 5,
+}
 
 
 @pytest.mark.parametrize("name", _REPRESENTATIVES)
@@ -87,3 +108,9 @@ def test_query_survives_empty_tables(spark, empty_sf, name):
     assert len(rows) <= _EXPECTED_EMPTY_ROWS.get(name, 1)
     if name == "similarity_ann_recall_contract":
         assert all(r["recall_floor_ok"] for r in rows), "vacuous pass broken"
+    if name == "quality_expectations_orders":
+        verdicts = {r["check_name"]: r["ok"] for r in rows}
+        assert verdicts.pop("row_count_gt_0") is False
+        # every other check passes vacuously on zero rows -- and none
+        # may be NULL (a null verdict is neither pass nor fail)
+        assert all(v is True for v in verdicts.values()), verdicts

@@ -134,3 +134,89 @@ def test_pair_feed_memoized_per_session(spark, sf_small):
     assert a is b
     other = minhash_verified_pairs(spark, "/root/testdata/sf0.01")
     assert other is not a
+
+
+def test_ntile_closed_form_matches_sql_semantics():
+    """The decile query's integer closed form must reproduce SQL
+    ntile(k) exactly for every N: buckets 1..(N mod k) hold
+    (N div k)+1 rows, the rest hold N div k. Exhaustive over
+    N = k..2000 (pure arithmetic -- no Spark needed)."""
+    k = 10
+
+    def closed_form(rnk: int, n: int) -> int:
+        q, m = divmod(n, k)
+        big_span = m * (q + 1)
+        if rnk <= big_span:
+            return (rnk - 1) // (q + 1) + 1
+        return m + (rnk - big_span - 1) // q + 1
+
+    for n in range(k, 2001):
+        q, m = divmod(n, k)
+        expected = []
+        for b in range(1, k + 1):
+            expected.extend([b] * (q + 1 if b <= m else q))
+        got = [closed_form(r, n) for r in range(1, n + 1)]
+        assert got == expected, f"N={n}"
+
+
+def test_prefix_filter_complete_on_adversarial_docs(spark, tmp_path):
+    """Prefix-filter completeness on a CONSTRUCTED corpus: families of
+    near-identical documents (one word changed -- Jaccard just above
+    0.9) plus unrelated noise docs. Every qualifying pair must survive
+    the blocking; brute force is the ground truth."""
+    import itertools
+
+    import pandas as pd
+
+    from etl_sales_pandas_sqlserver_spark.functions.dedup import (
+        _JACCARD_THRESHOLD,
+        q_jaccard_prefix_filter,
+    )
+
+    base = ("tok%02d " * 40) % tuple(range(40))
+    docs = []
+    # family A: 4 docs, each differing from base in ONE trailing word
+    for i in range(4):
+        words = base.split()
+        words[39] = f"var{i}"
+        docs.append(" ".join(words))
+    # family B: 3 exact copies of a different base
+    base_b = ("alt%02d " * 40) % tuple(range(40))
+    docs += [base_b.strip()] * 3
+    # noise: unrelated docs
+    for i in range(10):
+        docs.append(("n%d_%%02d " % i * 40) % tuple(range(40)))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": ["en"] * len(docs),
+            "source": ["t"] * len(docs),
+            "n_chars": [len(d) for d in docs],
+        }
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+
+    got = {
+        (r.a_id, r.b_id)
+        for r in q_jaccard_prefix_filter(spark, str(d)).collect()
+    }
+
+    # brute force in python
+    def shingles(text):
+        w = text.split()
+        return {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        } if len(w) >= 3 else set()
+
+    sh = [shingles(t) for t in docs]
+    want = set()
+    for a, b in itertools.combinations(range(len(docs)), 2):
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        if union and inter / union >= _JACCARD_THRESHOLD:
+            want.add((a, b))
+    assert want, "constructed corpus must contain qualifying pairs"
+    assert got == want
