@@ -48,6 +48,14 @@ FAMILIES: dict[str, list[str]] = {
     "dedup_simhash": ["dedup_simhash"],
     "similarity": ["similarity_topk_exact", "similarity_topk_ann"],
     "fuzzy": ["fuzzy_join_customer_names"],
+    # round-7 quadratic-risk additions: exact set-similarity joins
+    # (candidate blow-up if prefixes/postings skew) and the iterative
+    # graph pass (round count and per-round joins)
+    "jaccard_exact": [
+        "dedup_jaccard_prefix_filter",
+        "dedup_containment_pairs",
+    ],
+    "graph": ["graph_pagerank_dup"],
 }
 
 
