@@ -171,6 +171,25 @@ def main() -> None:
             prior = json.load(fh).get("queries", {})
     except (OSError, json.JSONDecodeError):
         pass
+    # provisional summary FIRST: the isolation + scale-smoke passes
+    # below can add many minutes, and if an external timeout kills the
+    # process mid-pass, the sweep's numbers must already be on stdout
+    # as a complete parseable line (a tail capture takes the LAST one,
+    # so the final summary still wins when we get there).
+    print(
+        json.dumps(
+            {
+                "metric": "engine_query_suite_wall_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf,
+                "provisional": True,
+            }
+        ),
+        flush=True,
+    )
+
     suspicious = sorted(
         name
         for name, t in timings.items()
