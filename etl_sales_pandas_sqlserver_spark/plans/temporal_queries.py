@@ -592,7 +592,8 @@ ZSCORE_ANOMALY_SQL = """
     WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
   )
-  SELECT user_id, event_id, ts_us, v_cents, c AS n_window, s AS sum_window
+  SELECT user_id, event_id, ts_us, v_cents, c AS n_window,
+         CAST(s AS BIGINT) AS sum_window
   FROM w
   WHERE c >= 10
     AND (c * v_cents - s) * (c * v_cents - s) > 4 * (c * q - s * s)
