@@ -74,6 +74,18 @@ def session_checkpoint_memo(
     return df
 
 
+def evict_session_memos(spark) -> None:
+    """Drop every checkpoint memo held for ``spark``.
+
+    The memo has no data-change detection: it is keyed on (session,
+    logical key) only, so a same-session caller that REWRITES the files
+    under a reused sf_dir (scale smokes, fixture-mutating tests) must
+    evict before re-querying or it silently reads the stale checkpoint.
+    This is the public spelling of that eviction (round-8 advice; the
+    smoke and tests previously reached into the private ``_MEMO``)."""
+    _MEMO.pop(spark, None)
+
+
 def managed_cache(
     *dfs: DataFrame, extend: bool = False
 ) -> DataFrame | tuple[DataFrame, ...]:

@@ -53,7 +53,6 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..cache import managed_cache
 from ..sources.testdata import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -166,6 +165,26 @@ def _global_topk(scored: DataFrame) -> DataFrame:
 
 
 def q_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k, memoized per (session, sf_dir).
+
+    The result is n_queries x k rows — broadcast-size by definition —
+    but producing it is the family's most expensive scan (full corpus x
+    query batch), and THREE same-session consumers re-derive it:
+    the registered ``similarity_topk_exact`` query, ``q_knn_label``,
+    and ``q_ann_recall_contract``'s baseline. The session checkpoint
+    memo (round-8; same mechanism as the minhash pair feed) runs the
+    scan once per session and hands every consumer the same severed
+    40-row frame."""
+    from ..cache import session_checkpoint_memo
+
+    return session_checkpoint_memo(
+        spark,
+        ("similarity_exact_topk", sf_dir),
+        lambda: _topk_exact_build(spark, sf_dir),
+    )
+
+
+def _topk_exact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     vecs = _vectors(spark, sf_dir)
@@ -219,7 +238,33 @@ def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
 _POPCOUNT = np.array([bin(i).count("1") for i in range(1 << _N_PLANES)], dtype=np.int64)
 
 
-def q_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _memoized_topk(variant: str, build: SparkQuery) -> SparkQuery:
+    """Session-memoize a deterministic top-k variant's ranked frame.
+
+    Each approximate variant is consumed twice per sweep — once by its
+    registered membership contract, once by the recall contract's
+    union — and each consumption repeats the variant's corpus scan
+    (plus, for IVF, the quantizer-training sample collect). The result
+    is n_queries x k rows; the memo (round-8, same mechanism as the
+    exact baseline above) checkpoints it once per (session, sf_dir).
+    Determinism holds by construction: seeded hyperplanes / seeded
+    Lloyd's, no runtime RNG anywhere."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..cache import session_checkpoint_memo
+
+        return session_checkpoint_memo(
+            spark,
+            ("similarity_topk", variant, sf_dir),
+            lambda: build(spark, sf_dir),
+        )
+
+    fn.__name__ = f"q_topk_{variant}"
+    fn.__qualname__ = fn.__name__
+    return fn
+
+
+def _topk_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     vecs = _vectors(spark, sf_dir)
@@ -259,6 +304,9 @@ def q_topk_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _global_topk(scored)
 
 
+q_topk_ann = _memoized_topk("ann", _topk_ann_build)
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN: sample-trained k-means quantizer -> inverted lists -> probe.
 # ---------------------------------------------------------------------------
@@ -295,7 +343,7 @@ def _nearest_lists(u: np.ndarray, cents: np.ndarray, n: int) -> np.ndarray:
     return np.argsort(d2, axis=1, kind="stable")[:, :n]
 
 
-def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _topk_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     vecs = _vectors(spark, sf_dir)
@@ -369,6 +417,9 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _global_topk(scored)
 
 
+q_topk_ivf = _memoized_topk("ivf", _topk_ivf_build)
+
+
 # ---------------------------------------------------------------------------
 # Indexed LSH ANN: the *serving* layout. q_topk_ann probes by masking a
 # full-corpus scan (IO = O(corpus) per query batch); this variant
@@ -429,7 +480,7 @@ def build_ann_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def q_topk_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _topk_ann_indexed_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     vecs = _vectors(spark, sf_dir)
@@ -489,6 +540,9 @@ def q_topk_ann_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = pruned.mapInPandas(scan, schema=_PAIR_SCHEMA)
     return _global_topk(scored)
+
+
+q_topk_ann_indexed = _memoized_topk("ann_indexed", _topk_ann_indexed_build)
 
 
 # ---------------------------------------------------------------------------
@@ -563,14 +617,12 @@ ANN_RECALL_SQL = """
 
 
 def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cached: the exact pair set (n_queries * k rows — broadcast-size
-    # by definition) feeds both the hit join and the in-plan
-    # denominator; without the cache the exact full-corpus top-k scan
-    # runs twice, and an eager .count() here additionally ran it at
-    # DataFrame-CONSTRUCTION time on every invocation
-    exact = managed_cache(
-        q_topk_exact(spark, sf_dir).select("query_id", "neighbor_id")
-    )
+    # the exact pair set (n_queries * k rows — broadcast-size by
+    # definition) feeds both the hit join and the in-plan denominator;
+    # q_topk_exact is session-memoized (eager checkpoint), so both
+    # consumers read the same severed 40-row frame and the full-corpus
+    # scan runs at most once per session
+    exact = q_topk_exact(spark, sf_dir).select("query_id", "neighbor_id")
     variants = [
         ("ivf", q_topk_ivf),
         ("lsh", q_topk_ann),

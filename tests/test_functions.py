@@ -444,7 +444,7 @@ def test_managed_cache_releases_prior_queries_caches(spark, sf_small):
     # skips plan construction and registers no cache -- desired in
     # production, but this test must see the construction-time
     # release mechanism
-    cache._MEMO.pop(spark, None)
+    cache.evict_session_memos(spark)
     # mechanism, on frames with DISTINCT canonicalized plans (alias
     # names are erased by canonicalization, so same-shape frames would
     # share one cache entry and mask the release)

@@ -146,7 +146,7 @@ def main() -> int:
             cache.release_caches()
             # evict ALL session memos (pair feed, sales frames) so
             # every pass pays the full family cost
-            cache._MEMO.pop(spark, None)
+            cache.evict_session_memos(spark)
             t0 = time.perf_counter()
             for name in names:
                 q[name](spark, sf_dir).collect()
