@@ -535,7 +535,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         train = train.withColumn(f"bidx{i}", (pos / 8).cast("bigint")).withColumn(
             f"bit{i}", (pos % 8).cast("int")
         )
-        bb = F.broadcast(
+        bb = F.broadcast(  # broadcast-ok: bloom bitmap, <= _BLOOM_M/8 (64 KiB) rows
             bloom_bytes.select(
                 F.col("bidx").alias(f"bidx{i}"), F.col("bval").alias(f"bval{i}")
             )
@@ -1620,7 +1620,7 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.select("doc_id", F.size("s").alias("n_sh"))
     prefix_len = (
         F.col("n_sh")
-        - F.floor((F.lit(9) * F.col("n_sh") + F.lit(9)) / F.lit(10))
+        - F.expr("(9 * n_sh + 9) div 10")
         + F.lit(1)
     )
     prefix = (

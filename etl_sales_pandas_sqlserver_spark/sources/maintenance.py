@@ -58,6 +58,23 @@ def read_parquet_merged_schema(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
+def zorder_effective_bits(bits: int, n_cols: int) -> int:
+    """Per-column precision actually used by :func:`zorder_write`.
+
+    The interleaved key shifts up to ``bits*n_cols - 1``; past bit 62 a
+    BIGINT shift reaches the sign bit / wraps and silently scrambles the
+    Morton order (layout quality only -- results never depend on layout
+    -- but the public signature shouldn't permit it). Auto-reduce
+    per-column precision so the key always fits a signed 64-bit value.
+    """
+    if n_cols < 1:
+        raise ValueError("z-order needs at least one column")
+    eff = min(bits, 63 // n_cols)
+    if eff < 1:
+        raise ValueError(f"too many z-order columns ({n_cols}): max 63")
+    return eff
+
+
 def zorder_write(
     df: "DataFrame",
     path: str,
@@ -80,6 +97,8 @@ def zorder_write(
     deterministic; results of downstream queries never depend on them.
     """
     from pyspark.sql import functions as F
+
+    bits = zorder_effective_bits(bits, len(cols))
 
     stats = df.agg(
         *[F.min(c).alias(f"__min_{c}") for c in cols],

@@ -208,20 +208,52 @@ def test_no_query_plans_a_scale_killer_join(spark, sf_small):
 # added to the allowlist below WITH a boundedness argument in review.
 # ---------------------------------------------------------------------------
 
-_BROADCAST_ALLOWED_NAMES = {
-    # fixed-size dims
-    "nation", "region", "n1", "n2",
-    # single-row scalar aggregates (crossJoin'ed or 1-row-joined)
-    "total", "avg_bal", "top", "n", "n_docs", "n_exact_df", "scnt",
-    # bounded-by-construction intermediates
-    "stats",      # one row per mktsegment (fixed 5-value domain)
-    "targets",    # one row per (mktsegment, bucket), bucket domain fixed
-    "sketch",     # one percentile sketch row per mktsegment
-    "offsets",    # one row per shuffle partition (config-bounded)
-    "exact",      # exact top-k pairs for the capped 8-query ANN batch
-    "df_row",     # single row of per-query-term document frequencies
-    "est_df",     # |event_types| x 8 probe rows from the CMS contract
-    "totals",     # one row per event type (fixed small domain)
+# file-relative-path -> variable names whose broadcast is audited
+# bounded IN THAT FILE. Namespacing by file (round-8 advice) stops a
+# generic name like `total` or `exact` in a NEW file from inheriting
+# another file's boundedness argument.
+_BROADCAST_ALLOWED: dict[str, set[str]] = {
+    # fixed-size dims (region=5 rows, nation=25 rows, n1/n2 renames)
+    "plans/tpch_partsupp.py": {"nation", "region", "total"},
+    "plans/analytics_queries.py": {"nation", "region"},
+    "plans/window_queries.py": {
+        "nation",
+        "offsets",  # one row per shuffle partition (config-bounded)
+        "total",    # single-row N for the ntile closed form
+    },
+    "plans/tpch_more.py": {"nation"},
+    "plans/advanced_queries.py": {
+        "nation", "region",
+        "stats",    # one row per mktsegment (fixed 5-value domain)
+        "targets",  # one row per (mktsegment, bucket), bucket domain fixed
+        "sketch",   # one percentile sketch row per mktsegment
+    },
+    "plans/tpch_suite2.py": {
+        "nation", "region", "n1", "n2",
+        "top",      # LIMIT-bounded top fraction for Q15-style rank
+        "avg_bal",  # single-row scalar aggregate
+    },
+    "streaming/queries.py": {"nation"},
+    "sources/maintenance.py": {"stats"},   # 1-row min/max per z column
+    "sources/testdata.py": {"scnt"},       # single-row supplier count
+    "functions/textstats.py": {"n_docs"},  # single-row corpus count
+    "functions/traindata.py": {
+        "n",        # single-row grand total
+        "offsets",  # one row per shuffle partition (config-bounded)
+    },
+    "functions/search.py": {
+        "stats",    # single-row corpus stats
+        "df_row",   # single row of per-query-term document frequencies
+        "total",    # single-row total count
+    },
+    "functions/similarity.py": {
+        "exact",       # exact top-k pairs for the capped 8-query ANN batch
+        "n_exact_df",  # single-row denominator
+    },
+    "functions/sketches.py": {
+        "est_df",   # |event_types| x 8 probe rows from the CMS contract
+        "totals",   # one row per event type (fixed small domain)
+    },
 }
 
 
@@ -234,8 +266,11 @@ def test_broadcast_hints_only_on_bounded_builds():
     root = pathlib.Path(pkg.__file__).parent
     violations = []
     for path in sorted(root.rglob("*.py")):
-        tree = ast.parse(path.read_text())
-        for node in ast.walk(tree):
+        src = path.read_text()
+        lines = src.splitlines()
+        rel = path.relative_to(root).as_posix()
+        allowed = _BROADCAST_ALLOWED.get(rel, set())
+        for node in ast.walk(ast.parse(src)):
             if not (
                 isinstance(node, ast.Call)
                 and isinstance(node.func, ast.Attribute)
@@ -245,17 +280,20 @@ def test_broadcast_hints_only_on_bounded_builds():
             ):
                 continue
             arg = node.args[0]
-            if isinstance(arg, ast.Name):
-                if arg.id not in _BROADCAST_ALLOWED_NAMES:
-                    violations.append(f"{path.name}:{node.lineno} F.broadcast({arg.id})")
-            elif not (
-                # the bloom build wraps an inline select of a 1-row agg
-                isinstance(arg, ast.Call)
-            ):
-                violations.append(f"{path.name}:{node.lineno} F.broadcast(<non-name>)")
+            if isinstance(arg, ast.Name) and arg.id in allowed:
+                continue
+            # a non-name build side (inline select/agg expression) is
+            # only exempt when the call line carries an explicit
+            # boundedness annotation (round-8 advice: the old blanket
+            # Call exemption let F.broadcast(load_table(...)) through)
+            if "# broadcast-ok:" in lines[node.lineno - 1]:
+                continue
+            what = arg.id if isinstance(arg, ast.Name) else "<expr>"
+            violations.append(f"{rel}:{node.lineno} F.broadcast({what})")
     assert not violations, (
-        "unaudited F.broadcast hint(s) -- prove the build side is bounded "
-        f"and extend the allowlist: {violations}"
+        "unaudited F.broadcast hint(s) -- prove the build side is bounded, "
+        "then extend _BROADCAST_ALLOWED for that file (named frames) or "
+        f"annotate the line with '# broadcast-ok: <reason>': {violations}"
     )
 
 

@@ -78,7 +78,7 @@ def test_prefix_filter_prunes_postings(spark, sf_small):
     prefix_postings = sh.select(
         (
             F.size("s")
-            - F.floor((F.lit(9) * F.size("s") + F.lit(9)) / F.lit(10))
+            - F.expr("(9 * size(s) + 9) div 10")
             + F.lit(1)
         ).alias("plen"),
         F.size("s").alias("n"),

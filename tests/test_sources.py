@@ -311,3 +311,66 @@ def test_zorder_write_clusters_both_dims(spark, tmp_path, sf_small):
     assert mean_p < 0.7 * full_p, (mean_p, full_p)
     # and the rewrite loses no rows
     assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_zorder_effective_bits_guard():
+    """bits*len(cols) > 63 would reach the BIGINT sign bit and scramble
+    the Morton key; the guard must auto-reduce per-column precision and
+    reject degenerate column counts."""
+    import pytest
+
+    from etl_sales_pandas_sqlserver_spark.sources.maintenance import (
+        zorder_effective_bits,
+    )
+
+    assert zorder_effective_bits(16, 2) == 16  # fits: top shift 33
+    assert zorder_effective_bits(16, 3) == 16  # fits: top shift 49
+    assert zorder_effective_bits(16, 4) == 15  # 16*4-1=63 hits sign bit
+    assert zorder_effective_bits(16, 8) == 7
+    with pytest.raises(ValueError):
+        zorder_effective_bits(16, 64)  # <1 bit per column
+    with pytest.raises(ValueError):
+        zorder_effective_bits(16, 0)
+
+
+def test_zorder_write_caps_bits_to_bigint(spark, tmp_path, sf_small):
+    """4 cols at the default bits=16 trips the sign-bit guard (-> 15
+    effective); the rewrite must stay lossless and still cluster the
+    most-significant z column (the LAST in the list -- interleave slot
+    b*len+i puts larger i higher)."""
+    from pyspark.sql import functions as F
+
+    from etl_sales_pandas_sqlserver_spark.sources.maintenance import (
+        zorder_write,
+    )
+    from etl_sales_pandas_sqlserver_spark.sources.testdata import load_table
+
+    orders = load_table(spark, sf_small, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.dayofyear("o_orderdate").alias("o_orderday"),
+    )
+    out = str(tmp_path / "z4")
+    zorder_write(
+        orders,
+        out,
+        ["o_totalprice", "o_orderkey", "o_orderday", "o_custkey"],
+        n_files=8,
+        bits=16,
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    per_file = (
+        back.groupBy(F.input_file_name())
+        .agg((F.max("o_custkey") - F.min("o_custkey")).alias("span_c"))
+        .collect()
+    )
+    full_c = orders.agg(
+        F.max("o_custkey") - F.min("o_custkey")
+    ).collect()[0][0]
+    mean_c = sum(r.span_c for r in per_file) / len(per_file)
+    # 8 files split the top ~3 key bits, whose MSB is o_custkey's --
+    # so each file should cover roughly half the custkey range; a
+    # wrapped key would push the mean span toward the full range
+    assert mean_c < 0.8 * full_c, (mean_c, full_c)
