@@ -1,12 +1,17 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the *decode* step is
-stubbed exactly as a production pipeline would gate a missing optional
-dependency: :func:`decode_image` / :func:`resample_audio` /
-:func:`sample_frames` raise ``NotImplementedError`` unless a
-deterministic fake decoder is requested. Everything around the stub --
-the binary schema, the Arrow batch iteration, the output contract, the
+Codec-free formats are decoded for REAL: BMP (24-bit BI_RGB header +
+pixel extraction, :func:`decode_bmp`) and WAV (chunk-walking RIFF
+parser + integer-ratio PCM resampling, :func:`decode_wav` /
+:func:`resample_audio`) are pure byte/array math and need no external
+library. Only formats that genuinely require a codec stay behind the
+optional-dependency gate, exactly as a production pipeline would gate
+a missing import: :func:`decode_image` on non-BMP payloads (PNG/JPEG
+need PIL/opencv), :func:`resample_audio` on compressed/non-integer-
+ratio audio (needs a DSP library), and :func:`sample_frames` (any
+video container needs ffmpeg). Everything around the gates -- the
+binary schema, the Arrow batch iteration, the output contract, the
 partition-preserving plan shape -- is real and tested.
 
 Scale notes: ``mapInPandas`` is a narrow transformation (no shuffle);
@@ -23,6 +28,7 @@ char == byte, verified in tests).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 from typing import Callable
 
@@ -42,31 +48,159 @@ _MODALITIES = ["image", "audio", "video"]
 
 
 # ---------------------------------------------------------------------------
-# Stubbed decoders -- the optional-dependency gate, spelled explicitly.
+# Real codec-free decoders (BMP, WAV) + the optional-dependency gates
+# for everything that genuinely needs a codec.
 # ---------------------------------------------------------------------------
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Serialize an ``(h, w, 3)`` uint8 RGB array as a 24-bit
+    uncompressed (BI_RGB) bottom-up BMP: BITMAPFILEHEADER (14 bytes) +
+    BITMAPINFOHEADER (40 bytes) + pixel rows in BGR order, each row
+    padded to a 4-byte boundary per the format spec."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_bmp needs an (h, w, 3) uint8 array")
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up row order, RGB -> BGR channel order
+    rows[:, :row_bytes] = pixels[::-1, :, ::-1].reshape(h, row_bytes)
+    data = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + info + data
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a 24-bit uncompressed BMP into ``(width, height, pixels)``
+    with ``pixels`` an ``(h, w, 3)`` uint8 RGB array in top-down row
+    order regardless of the stored orientation (negative biHeight
+    means a top-down source). Pure byte math: magic + offsets from the
+    file header, dimensions from the DIB header, then one numpy
+    reshape that strips the per-row padding."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    _planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMPs are codec-free (got bpp={bpp}, "
+            f"compression={compression})"
+        )
+    h = abs(h_raw)
+    if w <= 0 or h == 0:
+        raise ValueError(f"degenerate BMP dimensions {w}x{h_raw}")
+    stride = (w * 3 + 3) & ~3
+    body = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = body.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if h_raw > 0:
+        rows = rows[::-1]  # bottom-up storage -> top-down
+    return w, h, rows[:, :, ::-1]  # BGR -> RGB
 
 
 def decode_image(payload: bytes, *, fake: bool = False) -> tuple[int, int]:
     """Decode an image payload to (width, height).
 
-    Real decoding needs an image codec (PIL/opencv), which this
-    environment does not ship; ``fake=True`` derives deterministic
-    dimensions from the bytes instead (used by tests and the plumbing
-    query below -- clearly marked, never silently wrong).
+    BMP payloads are decoded for real (:func:`decode_bmp`); any other
+    format needs an image codec (PIL/opencv) this environment does not
+    ship. ``fake=True`` derives deterministic dimensions from the raw
+    bytes instead (used by tests and the byte-stats plumbing query --
+    clearly marked, never silently wrong).
     """
-    if not fake:
+    if fake:
+        width = int(payload[0]) % 64 + 1 if payload else 1
+        height = len(payload) % 64 + 1
+        return width, height
+    if payload[:2] == b"BM":
+        w, h, _pixels = decode_bmp(payload)
+        return w, h
+    raise NotImplementedError(
+        "non-BMP image decoding requires an image codec (PIL/opencv); "
+        "re-run with fake=True for the deterministic stub"
+    )
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """Serialize a mono PCM sample array (uint8 or int16) as a
+    RIFF/WAVE payload: fmt chunk (format 1 = uncompressed PCM) +
+    data chunk, little-endian throughout per the spec."""
+    if samples.dtype == np.uint8:
+        bits = 8
+    elif samples.dtype == np.int16:
+        bits = 16
+    else:
+        raise ValueError("encode_wav needs uint8 or int16 samples")
+    data = samples.astype(samples.dtype.newbyteorder("<")).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * bits // 8, bits // 8, bits)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+        + (b"\x00" if len(data) % 2 else b"")  # chunks are word-aligned
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Chunk-walking RIFF parser: returns ``(sample_rate, samples)``
+    for mono uncompressed PCM (format 1, 8/16-bit). Compressed or
+    multi-channel encodings stay behind the optional-dependency gate
+    -- they need a real audio library."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt_code = channels = rate = bits = None
+    data: bytes | None = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, channels, rate, _brate, _balign, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV payload missing fmt or data chunk")
+    if fmt_code != 1 or channels != 1 or bits not in (8, 16):
         raise NotImplementedError(
-            "image decoding requires an image codec (PIL/opencv); "
-            "re-run with fake=True for the deterministic stub"
+            f"only mono 8/16-bit PCM is codec-free (got format={fmt_code}, "
+            f"channels={channels}, bits={bits}); other encodings need an "
+            "audio library (soundfile/librosa)"
         )
-    width = int(payload[0]) % 64 + 1 if payload else 1
-    height = len(payload) % 64 + 1
-    return width, height
+    dtype = np.uint8 if bits == 8 else np.dtype("<i2")
+    return rate, np.frombuffer(data, dtype=dtype)
 
 
 def resample_audio(payload: bytes, rate: int = 16000) -> np.ndarray:
+    """Resample a PCM WAV payload to ``rate`` Hz by nearest-neighbor
+    integer-ratio decimation/repetition -- exact integer math, so the
+    DuckDB oracle can replay it bit-for-bit. Non-integer ratios need a
+    proper polyphase filter (scipy/librosa) and stay gated."""
+    src_rate, samples = decode_wav(payload)
+    if rate == src_rate:
+        return samples
+    if rate < src_rate and src_rate % rate == 0:
+        return samples[:: src_rate // rate]
+    if rate > src_rate and rate % src_rate == 0:
+        return np.repeat(samples, rate // src_rate)
     raise NotImplementedError(
-        "audio resampling requires an audio codec (soundfile/librosa)"
+        f"non-integer-ratio resampling ({src_rate} -> {rate}) requires "
+        "a DSP library (scipy/librosa)"
     )
 
 
@@ -390,8 +524,177 @@ def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-trip queries over the REAL decoders: each image-modality doc is
+# serialized as a spec-conformant BMP (pixels = the doc's text bytes
+# cycled over the RGB buffer) and decoded back through the actual
+# header/pixel parser; each audio-modality doc becomes a mono 8-bit
+# PCM WAV that the chunk-walking parser + integer-ratio resampler
+# process. The DuckDB oracle recomputes every output from the text
+# side alone, so any parser defect (stride, row order, channel order,
+# chunk walk, decimation phase) diverges the hash. Per-row Python here
+# is the O(1) header encode/decode any real codec pays per item; the
+# pixel/sample math is numpy over the Arrow batch.
+# ---------------------------------------------------------------------------
+
+_BMP_W_MOD = 31
+_BMP_H_MOD = 13
+
+_BMP_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("last_px", T.LongType()),
+        T.StructField("first_blue", T.LongType()),
+    ]
+)
+
+
+def _bmp_roundtrip_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """encode_bmp -> decode_bmp round trip per doc. last_px (bottom-
+    right blue-most sample in decoded RGB = last cycled byte) breaks if
+    the decoder forgets the vertical un-flip; first_blue (top-left blue
+    channel = 3rd cycled byte) breaks if BGR->RGB is dropped."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        out: dict[str, list[int]] = {
+            k: []
+            for k in (
+                "doc_id", "width", "height", "pixel_sum", "last_px", "first_blue"
+            )
+        }
+        for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            if arr.size == 0:
+                continue
+            w = int(arr.size % _BMP_W_MOD) + 1
+            h = int(arr[0] % _BMP_H_MOD) + 1
+            rgb = np.resize(arr, (h, w, 3))  # cycles the text bytes
+            dec_w, dec_h, pixels = decode_bmp(encode_bmp(rgb))
+            out["doc_id"].append(int(did))
+            out["width"].append(dec_w)
+            out["height"].append(dec_h)
+            out["pixel_sum"].append(int(pixels.sum(dtype=np.int64)))
+            out["last_px"].append(int(pixels[-1, -1, -1]))
+            out["first_blue"].append(int(pixels[0, 0, 2]))
+        if out["doc_id"]:
+            yield pd.DataFrame({k: np.asarray(v, dtype=np.int64) for k, v in out.items()})
+
+
+BMP_DECODE_SQL = f"""
+  WITH d AS (
+    SELECT doc_id, text, length(text) AS n,
+           (length(text) % {_BMP_W_MOD}) + 1 AS w,
+           (ascii(substr(text, 1, 1)) % {_BMP_H_MOD}) + 1 AS h
+    FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
+  ),
+  p AS (
+    SELECT doc_id, text, n, w, h, w * h * 3 AS npix,
+           list_sum(list_transform(range(1, n + 1),
+                                   i -> ascii(substr(text, i, 1)))) AS tsum
+    FROM d
+  )
+  SELECT doc_id,
+         CAST(w AS BIGINT) AS width,
+         CAST(h AS BIGINT) AS height,
+         CAST((npix // n) * tsum
+              + coalesce(list_sum(list_transform(
+                  range(1, (npix % n) + 1),
+                  i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS pixel_sum,
+         CAST(ascii(substr(text, ((npix - 1) % n) + 1, 1)) AS BIGINT) AS last_px,
+         CAST(ascii(substr(text, (2 % n) + 1, 1)) AS BIGINT) AS first_blue
+  FROM p
+  ORDER BY doc_id
+"""
+
+
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    images = with_binary_payload(docs.select("doc_id", "source", "text")).filter(
+        F.col("modality") == "image"
+    )
+    return (
+        images.select("doc_id", "payload")
+        .mapInPandas(_bmp_roundtrip_kernel, schema=_BMP_DECODE_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+_WAV_SRC_RATE = 8000
+_WAV_TARGET_RATE = 2000  # integer ratio 4:1 -> exact decimation
+
+_WAV_RESAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("max_sample", T.LongType()),
+    ]
+)
+
+
+def _wav_resample_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """encode_wav -> resample_audio round trip per doc: text bytes as
+    8-bit PCM at 8 kHz, decimated 4:1 to 2 kHz through the real RIFF
+    chunk walk. A wrong decimation phase or a chunk-walk misparse
+    shifts every downstream stat."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        out: dict[str, list[int]] = {
+            k: [] for k in ("doc_id", "n_samples", "sample_sum", "max_sample")
+        }
+        for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            if arr.size == 0:
+                continue
+            resampled = resample_audio(
+                encode_wav(arr, _WAV_SRC_RATE), _WAV_TARGET_RATE
+            )
+            out["doc_id"].append(int(did))
+            out["n_samples"].append(int(resampled.size))
+            out["sample_sum"].append(int(resampled.sum(dtype=np.int64)))
+            out["max_sample"].append(int(resampled.max()))
+        if out["doc_id"]:
+            yield pd.DataFrame({k: np.asarray(v, dtype=np.int64) for k, v in out.items()})
+
+
+_WAV_DECIM = _WAV_SRC_RATE // _WAV_TARGET_RATE
+
+WAV_RESAMPLE_SQL = f"""
+  SELECT doc_id,
+         CAST((length(text) + {_WAV_DECIM - 1}) // {_WAV_DECIM} AS BIGINT)
+           AS n_samples,
+         CAST(list_sum(list_transform(
+             range(1, length(text) + 1, {_WAV_DECIM}),
+             j -> ascii(substr(text, j, 1)))) AS BIGINT) AS sample_sum,
+         CAST(list_max(list_transform(
+             range(1, length(text) + 1, {_WAV_DECIM}),
+             j -> ascii(substr(text, j, 1)))) AS BIGINT) AS max_sample
+  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 1
+  ORDER BY doc_id
+"""
+
+
+def q_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    audio = with_binary_payload(docs.select("doc_id", "source", "text")).filter(
+        F.col("modality") == "audio"
+    )
+    return (
+        audio.select("doc_id", "payload")
+        .mapInPandas(_wav_resample_kernel, schema=_WAV_RESAMPLE_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
     "multimodal_binary_features": (q_binary_features, BINARY_FEATURES_SQL),
     "multimodal_frame_sample": (q_frame_sample, FRAME_SAMPLE_SQL),
     "multimodal_audio_chunks": (q_audio_chunks, AUDIO_CHUNKS_SQL),
+    "multimodal_bmp_decode": (q_bmp_decode, BMP_DECODE_SQL),
+    "multimodal_wav_resample": (q_wav_resample, WAV_RESAMPLE_SQL),
 }

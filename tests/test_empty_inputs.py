@@ -74,6 +74,9 @@ _REPRESENTATIVES = [
     "sketch_cms_user_hits_contract",
     "stream_topk_types_per_hour",
     "stream_sketch_daily_users",
+    # round-8: real BMP/WAV decoder round trips
+    "multimodal_bmp_decode",
+    "multimodal_wav_resample",
 ]
 
 

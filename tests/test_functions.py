@@ -48,13 +48,97 @@ def test_ann_rank_contract(spark, sf_small):
         assert len(ranks) <= _TOP_K
 
 
-def test_decode_stubs_raise():
+def test_decode_gates_raise_for_codec_formats():
+    import numpy as np
+
+    # PNG/JPEG genuinely need an image codec
     with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
-    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    # malformed RIFF is a ValueError, not a missing-codec gate
+    with pytest.raises(ValueError):
         multimodal.resample_audio(b"RIFF")
+    # 16-bit stereo would need channel mixing -> gated
+    stereo_fmt = __import__("struct").pack(
+        "<HHIIHH", 1, 2, 8000, 32000, 4, 16
+    )
+    stereo = (
+        b"RIFF" + __import__("struct").pack("<I", 36) + b"WAVE"
+        + b"fmt " + __import__("struct").pack("<I", len(stereo_fmt)) + stereo_fmt
+        + b"data" + __import__("struct").pack("<I", 0)
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_wav(stereo)
+    # non-integer resample ratio needs a DSP library
+    wav = multimodal.encode_wav(np.arange(10, dtype=np.uint8), 8000)
+    with pytest.raises(NotImplementedError):
+        multimodal.resample_audio(wav, 3000)
     with pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"\x00\x00\x01\xba")
+
+
+def test_bmp_roundtrip_exact():
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (13, 31), (7, 2)]:
+        pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = multimodal.encode_bmp(pixels)
+        dw, dh, back = multimodal.decode_bmp(payload)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(back, pixels)
+        # decode_image routes BM payloads through the real parser
+        assert multimodal.decode_image(payload) == (w, h)
+
+
+def test_bmp_decoder_handles_topdown_and_rejects_garbage():
+    import struct
+
+    import numpy as np
+
+    pixels = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = bytearray(multimodal.encode_bmp(pixels))
+    # flip biHeight negative (top-down storage): rows are then NOT
+    # vertically mirrored on disk, so patch the pixel data to match
+    stride = (3 * 3 + 3) & ~3
+    rows = np.zeros((2, stride), dtype=np.uint8)
+    rows[:, : 3 * 3] = pixels[:, :, ::-1].reshape(2, 9)  # top-down, BGR
+    payload[18:26] = struct.pack("<ii", 3, -2)
+    payload[54:] = rows.tobytes()
+    dw, dh, back = multimodal.decode_bmp(bytes(payload))
+    assert (dw, dh) == (3, 2)
+    assert np.array_equal(back, pixels)
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"BM too short")
+    with pytest.raises(ValueError):
+        multimodal.decode_bmp(b"\x89PNG" + b"\x00" * 64)
+
+
+def test_wav_roundtrip_and_integer_resample():
+    import numpy as np
+
+    samples = np.arange(100, dtype=np.uint8)
+    wav = multimodal.encode_wav(samples, 8000)
+    rate, back = multimodal.decode_wav(wav)
+    assert rate == 8000
+    assert np.array_equal(back, samples)
+    # same-rate passthrough
+    assert np.array_equal(multimodal.resample_audio(wav, 8000), samples)
+    # 4:1 decimation keeps every 4th starting at phase 0
+    down = multimodal.resample_audio(wav, 2000)
+    assert np.array_equal(down, samples[::4])
+    # 1:2 upsample repeats each sample
+    up = multimodal.resample_audio(wav, 16000)
+    assert np.array_equal(up, np.repeat(samples, 2))
+    # 16-bit mono round-trips too (incl. negative samples)
+    s16 = np.array([-32768, -1, 0, 1, 32767], dtype=np.int16)
+    rate16, back16 = multimodal.decode_wav(multimodal.encode_wav(s16, 44100))
+    assert rate16 == 44100
+    assert np.array_equal(back16, s16)
+    # odd-length 8-bit data forces the word-alignment pad byte; the
+    # chunk walk must not mistake it for payload
+    odd = np.arange(7, dtype=np.uint8)
+    _, back_odd = multimodal.decode_wav(multimodal.encode_wav(odd, 8000))
+    assert np.array_equal(back_odd, odd)
 
 
 def test_fake_decode_deterministic():
