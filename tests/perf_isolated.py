@@ -47,6 +47,15 @@ def main() -> int:
             print(f"unknown query: {name}", file=sys.stderr)
             return 2
         fn, _sql = QUERIES[name]
+        # one UNTIMED run first: the fresh JVM pays codegen compile,
+        # Python-worker spin-up, broadcast build and session-memo
+        # construction on the first execution of each query -- the
+        # suite numbers this harness adjudicates are warm, so timing
+        # that cold run poisoned the "stable estimator" (round-7
+        # verdict: approx_distinct_users 4.7s isolated vs 1.27s warm
+        # in-suite).
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
         runs = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
