@@ -102,3 +102,139 @@ def salted_agg_count(
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
     return partial.groupBy(key).agg(F.sum("_partial").alias("n"))
+
+
+def chunked_lookback_window(
+    df: DataFrame,
+    key: str,
+    tsu_col: str,
+    agg_builder,
+    lookback: int,
+    chunk: int | None = None,
+    out_col: str = "agg",
+) -> DataFrame:
+    """Per-row lookback-RANGE-window aggregate WITHOUT a per-key task.
+
+    ``Window.partitionBy(key)`` puts every row of a key in ONE task --
+    the shape AQE cannot split, so a hot key (one user with millions of
+    events) pins a straggler no matter how the rest of the job scales.
+    This is the window-shaped sibling of salting: the salt is the TIME
+    CHUNK. Rows are assigned to ``floor(tsu / chunk)``; rows in the
+    last ``lookback`` of each chunk are replayed once into the next
+    chunk as flagged warm-up rows, so every chunk partition contains
+    the full ``[chunk_start - lookback, chunk_end)`` history its native
+    rows' frames can reach. The window then runs over
+    ``(key, chunk)`` -- a hot key spreads across ``span/chunk`` tasks
+    -- and warm-up rows are dropped after the frame evaluates. Result
+    is row-for-row identical to the global per-key window (the
+    registered chunked query shares its DuckDB oracle with the plain
+    one, so the driver hash-checks the equivalence).
+
+    Cost model: duplicated-row fraction is ``lookback/chunk`` (default
+    chunk = 6x lookback -> ~17% replay), paid once at the exchange; in
+    return the per-key frame work parallelizes. Correctness needs only
+    ``chunk >= lookback`` (asserted) so a frame never reaches back more
+    than one chunk.
+
+    ``agg_builder`` receives the (key, chunk)-scoped ``Window`` spec
+    and returns the aggregate Column, e.g.
+    ``lambda w: F.sum("x").over(w)``.
+    """
+    if chunk is None:
+        chunk = 6 * lookback
+    if chunk < lookback:
+        raise ValueError(f"chunk ({chunk}) must be >= lookback ({lookback})")
+    # true integer division: `/` on BIGINTs returns DOUBLE, and at
+    # epoch-microsecond magnitudes a boundary row could chunk off by
+    # one ulp through the float path
+    ck = F.expr(f"`{tsu_col}` div {int(chunk)}")
+    native = F.struct(ck.alias("_ck"), F.lit(False).alias("_warm"))
+    replay = F.struct((ck + 1).alias("_ck"), F.lit(True).alias("_warm"))
+    assignments = F.when(
+        F.col(tsu_col) % F.lit(chunk) >= F.lit(chunk - lookback),
+        F.array(native, replay),
+    ).otherwise(F.array(native))
+    staged = (
+        df.withColumn("_assign", F.explode(assignments))
+        .withColumn("_ck", F.col("_assign._ck"))
+        .withColumn("_warm", F.col("_assign._warm"))
+        .drop("_assign")
+    )
+    # EXPLICIT partition count: AQE sizes shuffles by bytes, and a hot
+    # key's chunk cells are only a few MB -- left to itself it
+    # coalesces them into ONE partition, single-tasking exactly the
+    # frame evaluation this operator exists to parallelize (measured:
+    # the 100k-row hot leg ran slower than the plain window until
+    # pinned). An explicit repartition(n, ...) is exempt from AQE
+    # coalescing and satisfies the window's clustering requirement, so
+    # no second exchange is added. CPU-bound frame work wants one
+    # partition per core regardless of byte size.
+    n_parts = int(
+        staged.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    staged = staged.repartition(n_parts, key, "_ck")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key, "_ck")
+        .orderBy(tsu_col)
+        .rangeBetween(-lookback, Window.currentRow)
+    )
+    return (
+        staged.withColumn(out_col, agg_builder(w))
+        .filter(~F.col("_warm"))
+        .drop("_ck", "_warm")
+    )
+
+
+def hybrid_lookback_window(
+    df: DataFrame,
+    key: str,
+    tsu_col: str,
+    agg_builder,
+    lookback: int,
+    chunk: int | None = None,
+    out_col: str = "agg",
+    hot_threshold: int = 100_000,
+) -> DataFrame:
+    """Skew-AWARE lookback window: route only HOT keys through the
+    chunked rewrite, everything else through the plain per-key window.
+
+    The all-chunked rewrite (:func:`chunked_lookback_window`) taxes the
+    cold bulk: every (key, chunk) cell is its own window partition, so
+    a corpus of small keys fragments into span/chunk times more sort
+    groups than the plain window needs -- measured as the chunked twin
+    costing MORE than plain on uniform data while winning on the hot
+    key. Production skew handling is routing, not blanket rewriting:
+    count rows per key (map-side combined, one tiny aggregate), take
+    the keys above ``hot_threshold`` (bounded by |corpus|/threshold --
+    broadcast-size by construction), send those through the chunked
+    path and the rest through the plain window, and union. Both paths
+    produce bit-identical per-row results (property-tested; the
+    registered hybrid query shares the plain query's DuckDB oracle).
+
+    ``hot_threshold`` is the row count above which one task's frame
+    evaluation becomes the job's straggler; size it to roughly
+    (rows per task budget), e.g. 100k for O(frame)-cost aggregates.
+    """
+    from pyspark.sql import Window
+
+    hot_keys = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > hot_threshold)
+        .select(key)
+    )
+    # broadcast-ok: <= |rows|/hot_threshold keys by construction
+    hot = df.join(F.broadcast(hot_keys), key, "left_semi")
+    cold = df.join(F.broadcast(hot_keys), key, "left_anti")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(tsu_col)
+        .rangeBetween(-lookback, Window.currentRow)
+    )
+    cold_out = cold.withColumn(out_col, agg_builder(w))
+    hot_out = chunked_lookback_window(
+        hot, key, tsu_col, agg_builder, lookback, chunk, out_col
+    )
+    return cold_out.unionByName(hot_out)

@@ -381,8 +381,85 @@ def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Hot-key-safe twin of window_distinct_types_1h: the SAME per-row
+# 1h-lookback distinct count computed through
+# operators.scale.chunked_lookback_window -- the time chunk is the
+# window-shaped salt, so one user with millions of events spreads over
+# span/chunk tasks instead of pinning one (the round-7 verdict's only
+# 100 TB watch item). It shares the plain query's oracle, so the
+# driver hash proves row-for-row equivalence of the chunked rewrite.
+# ---------------------------------------------------------------------------
+
+_LOOKBACK_US = 3_600_000_000  # 1h
+_CHUNK_US = 6 * _LOOKBACK_US  # ~17% replay overhead
+
+
+def q_distinct_types_1h_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import chunked_lookback_window
+
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
+        "event_id", "user_id", "event_type", epoch_us(raw, "ts").alias("tsu")
+    )
+    out = chunked_lookback_window(
+        ev,
+        "user_id",
+        "tsu",
+        lambda w: F.size(
+            F.array_distinct(F.collect_list("event_type").over(w))
+        ).cast("bigint"),
+        lookback=_LOOKBACK_US,
+        chunk=_CHUNK_US,
+        out_col="n_types_1h",
+    )
+    return out.select("event_id", "user_id", "n_types_1h").orderBy("event_id")
+
+
+# Skew-aware routing twin: hot keys through the chunked rewrite, cold
+# keys through the plain window, union (operators/scale.py
+# hybrid_lookback_window -- the production shape: blanket chunking
+# taxes the cold bulk with span/chunk times more sort groups). The
+# threshold here deliberately sits INSIDE the per-user count
+# distribution (testdata: ~45..99 events/user at every SF) so the
+# driver's sf0.01 run exercises BOTH routes and the union; production
+# sizes it to the per-task row budget (~100k for O(frame) aggregates).
+# Shares the plain oracle: the hash proves both routes and their union.
+_HYBRID_HOT_THRESHOLD = 66
+
+
+def q_distinct_types_1h_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scale import hybrid_lookback_window
+
+    raw = load_table(spark, sf_dir, "events")
+    ev = raw.select(
+        "event_id", "user_id", "event_type", epoch_us(raw, "ts").alias("tsu")
+    )
+    out = hybrid_lookback_window(
+        ev,
+        "user_id",
+        "tsu",
+        lambda w: F.size(
+            F.array_distinct(F.collect_list("event_type").over(w))
+        ).cast("bigint"),
+        lookback=_LOOKBACK_US,
+        chunk=_CHUNK_US,
+        out_col="n_types_1h",
+        hot_threshold=_HYBRID_HOT_THRESHOLD,
+    )
+    return out.select("event_id", "user_id", "n_types_1h").orderBy("event_id")
+
+
 WINDOW_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "window_distinct_types_1h": (q_distinct_types_1h, DISTINCT_1H_SQL),
+    "window_distinct_types_1h_chunked": (
+        q_distinct_types_1h_chunked,
+        DISTINCT_1H_SQL,
+    ),
+    "window_distinct_types_1h_hybrid": (
+        q_distinct_types_1h_hybrid,
+        DISTINCT_1H_SQL,
+    ),
     "decile_stats_order_price": (q_decile_stats, DECILE_STATS_SQL),
     "window_relative_standing": (q_relative_standing, RELATIVE_STANDING_SQL),
     "window_moving_avg_7": (q_moving_avg, MOVING_AVG_SQL),

@@ -74,9 +74,11 @@ _REPRESENTATIVES = [
     "sketch_cms_user_hits_contract",
     "stream_topk_types_per_hour",
     "stream_sketch_daily_users",
-    # round-8: real BMP/WAV decoder round trips
+    # round-8: real BMP/WAV decoder round trips + hot-key-safe window
     "multimodal_bmp_decode",
     "multimodal_wav_resample",
+    "window_distinct_types_1h_chunked",
+    "partition_pruned_day_load",
 ]
 
 

@@ -288,6 +288,96 @@ def test_salted_agg_count_equals_groupby(spark):
     assert direct == salted
 
 
+def test_chunked_lookback_window_equals_global_window(spark):
+    """chunked_lookback_window must be row-for-row identical to the
+    plain per-key RANGE window, including rows exactly ON chunk
+    boundaries, in the replay band, with duplicate timestamps (range
+    peers), and with frames reaching across a boundary."""
+    from pyspark.sql import Window
+
+    from etl_sales_pandas_sqlserver_spark.operators.scale import (
+        chunked_lookback_window,
+    )
+
+    L, C = 100, 300  # lookback 100, chunk 300 -> replay band [200, 300)
+    rows = [
+        # key "a": dense run crossing two chunk boundaries
+        *[Row(k="a", tsu=t, rid=i) for i, t in enumerate(
+            [0, 50, 99, 100, 199, 200, 250, 299, 300, 301, 350, 399,
+             400, 550, 599, 600, 650, 899, 900]
+        )],
+        # duplicate timestamps straddling the replay band (peers)
+        Row(k="a", tsu=299, rid=100),
+        Row(k="a", tsu=300, rid=101),
+        # key "b": sparse, frames never span a boundary
+        Row(k="b", tsu=10, rid=200),
+        Row(k="b", tsu=610, rid=201),
+    ]
+    df = spark.createDataFrame(rows)
+    build = lambda w: F.sum("tsu").over(w) + F.count(F.lit(1)).over(w)
+    wg = Window.partitionBy("k").orderBy("tsu").rangeBetween(
+        -L, Window.currentRow
+    )
+    expected = {
+        (r.k, r.rid, r.agg)
+        for r in df.withColumn("agg", build(wg)).collect()
+    }
+    got = {
+        (r.k, r.rid, r.agg)
+        for r in chunked_lookback_window(
+            df, "k", "tsu", build, lookback=L, chunk=C
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_hybrid_lookback_window_equals_global_both_routes(spark):
+    """With the threshold set between the two keys' row counts, one
+    key routes chunked and one plain -- the union must still equal the
+    global per-key window row for row."""
+    from pyspark.sql import Window
+
+    from etl_sales_pandas_sqlserver_spark.operators.scale import (
+        hybrid_lookback_window,
+    )
+
+    rows = [
+        *[Row(k="hot", tsu=t * 37 % 1000, rid=i) for i, t in enumerate(range(40))],
+        *[Row(k="cold", tsu=t * 101 % 1000, rid=100 + t) for t in range(5)],
+    ]
+    df = spark.createDataFrame(rows)
+    build = lambda w: F.sum("tsu").over(w) * 1000 + F.count(F.lit(1)).over(w)
+    wg = Window.partitionBy("k").orderBy("tsu").rangeBetween(
+        -100, Window.currentRow
+    )
+    want = {
+        (r.k, r.rid, r.agg)
+        for r in df.withColumn("agg", build(wg)).collect()
+    }
+    got = {
+        (r.k, r.rid, r.agg)
+        for r in hybrid_lookback_window(
+            df, "k", "tsu", build, lookback=100, chunk=300, hot_threshold=10
+        ).collect()
+    }
+    assert got == want
+
+
+def test_chunked_lookback_window_rejects_short_chunk(spark):
+    import pytest
+
+    from etl_sales_pandas_sqlserver_spark.operators.scale import (
+        chunked_lookback_window,
+    )
+
+    df = spark.createDataFrame([Row(k="a", tsu=0)])
+    with pytest.raises(ValueError):
+        chunked_lookback_window(
+            df, "k", "tsu", lambda w: F.count(F.lit(1)).over(w),
+            lookback=100, chunk=50,
+        )
+
+
 # ---------------------------------------------------------------------------
 # operators/quality.py: one-pass expectation suite
 # ---------------------------------------------------------------------------

@@ -109,6 +109,34 @@ def test_curation_dedup_uses_window_group_limit(spark, sf_small):
     assert "WindowGroupLimit" in _optimized(fn(spark, sf_small))
 
 
+def test_chunked_window_partitions_by_key_and_chunk(spark, sf_small):
+    """The hot-key-safe window twin must exchange on (user_id, _ck) --
+    the time chunk IS the salt, so a partitioning on user_id alone
+    would re-concentrate a hot user in one task and defeat the
+    operator's whole purpose."""
+    import re
+
+    fn, _ = QUERIES["window_distinct_types_1h_chunked"]
+    plan = _physical(fn(spark, sf_small))
+    assert re.search(
+        r"hashpartitioning\(user_id[^)]*_ck", plan
+    ), "window exchange lost the chunk component of the partition key"
+
+
+def test_partition_pruned_scan_filters_at_planning_time(spark, sf_small):
+    """The hive-partitioned events scan must resolve the 3-day
+    predicate in PartitionFilters (directories never listed), not as a
+    post-scan row filter -- at 100 TB that is the difference between
+    reading 3 partitions and reading all of them."""
+    import re
+
+    fn, _ = QUERIES["partition_pruned_day_load"]
+    plan = _physical(fn(spark, sf_small))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "scan lost its PartitionFilters"
+    assert "event_date" in m.group(1) and ">=" in m.group(1), m.group(1)
+
+
 def test_bucketed_join_has_no_key_exchange(spark, sf_small):
     """The bucketed orders|x|lineitem join must read bucket-aligned
     scans: a SortMergeJoin with NO shuffle exchange on either join key
@@ -162,6 +190,9 @@ _SCALAR_CROSS_JOIN_OK = {
     "tpch_q22_sales_opportunity",
     "tpch_q2_min_cost_supplier",
     "tpch_q9_product_profit",
+    # round-8: 1-row target/raw bigram grand totals feeding the
+    # 64-row ratio table
+    "importance_weights_ngram",
 }
 
 
@@ -235,11 +266,15 @@ _BROADCAST_ALLOWED: dict[str, set[str]] = {
     },
     "streaming/queries.py": {"nation"},
     "sources/maintenance.py": {"stats"},   # 1-row min/max per z column
+    # keys above an absolute row threshold: <= |rows|/threshold rows
+    "operators/scale.py": {"hot_keys"},
     "sources/testdata.py": {"scnt"},       # single-row supplier count
     "functions/textstats.py": {"n_docs"},  # single-row corpus count
     "functions/traindata.py": {
         "n",        # single-row grand total
         "offsets",  # one row per shuffle partition (config-bounded)
+        "totals",   # single-row target/raw bigram grand totals
+        "ratios",   # one row per hash bucket (fixed 64-value domain)
     },
     "functions/search.py": {
         "stats",    # single-row corpus stats

@@ -76,3 +76,58 @@ def test_garbage_amounts_null_never_throw(spark, batch):
     df = spark.createDataFrame([(s,) for s in batch], "raw string")
     out = df.select(normalize_currency("raw").alias("out")).collect()
     assert len(out) == len(batch)
+
+
+# ---------------------------------------------------------------------------
+# chunked_lookback_window: the chunked rewrite must equal the global
+# per-key window on ARBITRARY timelines -- the generator explores
+# boundary-adjacent timestamps, duplicate timestamps (range peers) and
+# lookback/chunk geometries a fixed fixture can't cover.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 2000)),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(10, 200),
+    st.integers(1, 4),
+)
+def test_chunked_window_equals_global_window_property(
+    spark, rows, lookback, chunk_mult
+):
+    from pyspark.sql import Window
+
+    from etl_sales_pandas_sqlserver_spark.operators.scale import (
+        chunked_lookback_window,
+    )
+
+    chunk = lookback * chunk_mult
+    df = spark.createDataFrame(
+        [(f"k{k}", t, i) for i, (k, t) in enumerate(rows)],
+        "k string, tsu long, rid long",
+    )
+    build = lambda w: (
+        F.sum("tsu").over(w) * 1000 + F.count(F.lit(1)).over(w)
+    )
+    wg = Window.partitionBy("k").orderBy("tsu").rangeBetween(
+        -lookback, Window.currentRow
+    )
+    want = {
+        (r.k, r.rid, r.agg)
+        for r in df.withColumn("agg", build(wg)).collect()
+    }
+    got = {
+        (r.k, r.rid, r.agg)
+        for r in chunked_lookback_window(
+            df, "k", "tsu", build, lookback=lookback, chunk=chunk
+        ).collect()
+    }
+    assert got == want
