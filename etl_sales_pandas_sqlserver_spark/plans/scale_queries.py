@@ -131,8 +131,57 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 4. Partition-pruned scan: events re-laid-out hive-partitioned by day
+# (sources/partitioned.py), then a 3-day predicate aggregates load per
+# event type. The date filter resolves at PLANNING time -- the plan
+# carries it in PartitionFilters (pinned in tests/test_plan_shapes.py)
+# and the scan lists only 3 of the 30 day directories; at 100 TB this
+# is the difference between reading 10 TB and reading 1 PB before the
+# first row filter runs. Oracle = the plain date-filtered aggregate.
+# ---------------------------------------------------------------------------
+
+_PRUNE_LO, _PRUNE_HI = "2024-01-10", "2024-01-12"
+
+PARTITION_PRUNED_SQL = f"""
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+  FROM events
+  WHERE CAST(ts AS DATE) BETWEEN DATE '{_PRUNE_LO}' AND DATE '{_PRUNE_HI}'
+  GROUP BY 1
+  ORDER BY 1
+"""
+
+
+def q_partition_pruned_day_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.partitioned import partitioned_table
+
+    ev = partitioned_table(
+        spark, sf_dir, "events", "event_date", F.to_date("ts")
+    )
+    return (
+        ev.filter(
+            (F.col("event_date") >= F.lit(_PRUNE_LO))
+            & (F.col("event_date") <= F.lit(_PRUNE_HI))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 SCALE_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
     "skew_salted_user_counts": (q_salted_user_counts, SALTED_USER_COUNTS_SQL),
     "skew_salted_join_segments": (q_salted_join_segments, SALTED_JOIN_SEGMENTS_SQL),
     "bucketed_join_order_revenue": (q_bucketed_join_revenue, BUCKETED_JOIN_SQL),
+    "partition_pruned_day_load": (
+        q_partition_pruned_day_load,
+        PARTITION_PRUNED_SQL,
+    ),
 }
