@@ -39,9 +39,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(REPO, ".scaledata", "x10")
+SKEW_OUT = os.path.join(REPO, ".scaledata", "x10skew")
 REPLICAS = 10
 SHIFT = 10_000_000
-_GEN_VERSION = "v1"  # bump to force regeneration
+_GEN_VERSION = "v2"  # bump to force regeneration
 
 FAMILIES: dict[str, list[str]] = {
     "dedup_lsh": ["dedup_minhash_lsh", "dedup_clusters"],
@@ -58,11 +59,21 @@ FAMILIES: dict[str, list[str]] = {
     "graph": ["graph_pagerank_dup"],
 }
 
+#: round-8: hot-key families, run against the SKEWED 10x events
+#: replica (one user owns replica 1's 100k events = ~1000x the
+#: heaviest organic user). These verify the skew-mitigation plans
+#: absorb a hot key without superlinear blow-up, vs the same 10x
+#: linear budget the uniform families get.
+SKEW_FAMILIES: dict[str, list[str]] = {
+    "skew_agg": ["skew_salted_user_counts", "heavy_hitters_users"],
+    "skew_window_chunked": ["window_distinct_types_1h_chunked"],
+}
+
 
 def _fingerprint() -> str:
     stats = [
         str(os.stat(os.path.join(SRC, f"{t}.parquet")).st_mtime_ns)
-        for t in ("documents", "embeddings", "customer")
+        for t in ("documents", "embeddings", "customer", "events")
     ]
     return f"{_GEN_VERSION}:{SRC}:{':'.join(stats)}"
 
@@ -117,6 +128,27 @@ def ensure_data() -> None:
         ) TO '{OUT}/customer.parquet' (FORMAT parquet)
         """
     )
+    # skewed 10x events: replicas shift ids; replica 1's user_ids all
+    # collapse onto ONE hot user (the min original user), giving it
+    # ~100k events vs an organic max of ~99 -- a 1000x hot key.
+    # Queries that only read `events` run against SKEW_OUT directly.
+    os.makedirs(SKEW_OUT, exist_ok=True)
+    con.execute(
+        f"""
+        COPY (
+          SELECT e.event_id + r.k * {SHIFT} AS event_id,
+                 e.ts,
+                 CASE
+                   WHEN r.k = 0 THEN e.user_id
+                   WHEN r.k = 1 THEN (SELECT MIN(user_id)
+                                      FROM '{SRC}/events.parquet')
+                   ELSE e.user_id + r.k * {SHIFT}
+                 END AS user_id,
+                 e.event_type, e.value, e.props
+          FROM '{SRC}/events.parquet' e CROSS JOIN reps r
+        ) TO '{SKEW_OUT}/events.parquet' (FORMAT parquet)
+        """
+    )
     with open(marker, "w") as fh:
         fh.write(_fingerprint())
 
@@ -164,6 +196,69 @@ def main() -> int:
             "ratio_vs_linear": ratio,
             "superlinear": bool(ratio and ratio > 1.5),
         }
+    # hot-key families: same 10x linear budget, but the 10x data is the
+    # SKEWED replica (one ~1000x user), so staying <=1.5 proves the
+    # skew paths (two-phase salted count, bounded Misra-Gries exchange,
+    # time-chunked window) absorb the hot key, not just more rows.
+    for fam, names in SKEW_FAMILIES.items():
+        t1 = run_family(names, SRC)
+        t10 = run_family(names, SKEW_OUT, passes=1)
+        ratio = round(t10 / (REPLICAS * t1), 3) if t1 > 0 else None
+        result[fam] = {
+            "t_sf01": round(t1, 3),
+            "t_x10skew": round(t10, 3),
+            "ratio_vs_linear": ratio,
+            "superlinear": bool(ratio and ratio > 1.5),
+        }
+    # A/B on the skewed replica: the plain per-key window pins the hot
+    # user's 100k-row frame evaluation in ONE task; the chunked twin
+    # (salt = time chunk, identical results, shared oracle) spreads it
+    # but taxes the cold bulk with span/chunk times more sort groups;
+    # the HYBRID (production shape) chunks only keys above a row
+    # threshold and runs the cold bulk plain. Recorded so the win --
+    # and the single-task cost it removes -- is a measured number, not
+    # a design claim.
+    t_plain = run_family(["window_distinct_types_1h"], SKEW_OUT, passes=1)
+    t_chunk = run_family(
+        ["window_distinct_types_1h_chunked"], SKEW_OUT, passes=1
+    )
+
+    def q_hybrid_prod(spark_, sf_dir_):
+        from pyspark.sql import functions as F
+
+        from etl_sales_pandas_sqlserver_spark.operators.dates import epoch_us
+        from etl_sales_pandas_sqlserver_spark.operators.scale import (
+            hybrid_lookback_window,
+        )
+        from etl_sales_pandas_sqlserver_spark.sources.testdata import (
+            load_table,
+        )
+
+        raw = load_table(spark_, sf_dir_, "events")
+        ev = raw.select(
+            "event_id", "user_id", "event_type",
+            epoch_us(raw, "ts").alias("tsu"),
+        )
+        return hybrid_lookback_window(
+            ev, "user_id", "tsu",
+            lambda w: F.size(
+                F.array_distinct(F.collect_list("event_type").over(w))
+            ).cast("bigint"),
+            lookback=3_600_000_000,
+            out_col="n_types_1h",
+            hot_threshold=10_000,  # production-sized: only the hot user
+        )
+
+    t0 = time.perf_counter()
+    q_hybrid_prod(spark, SKEW_OUT).collect()
+    t_hybrid = time.perf_counter() - t0
+    result["skew_window_ab"] = {
+        "t_plain_window": round(t_plain, 3),
+        "t_chunked_window": round(t_chunk, 3),
+        "t_hybrid_window": round(t_hybrid, 3),
+        "chunked_speedup": round(t_plain / t_chunk, 2) if t_chunk > 0 else None,
+        "hybrid_speedup": round(t_plain / t_hybrid, 2) if t_hybrid > 0 else None,
+    }
     print(json.dumps({"scale_smoke": result}), flush=True)
     return 0
 

@@ -119,6 +119,12 @@ def main() -> int:
         if not rnd:
             continue  # never green (or unverifiable round): stays stale
         fp = readers[rnd].query_fingerprint(fn.__module__, fn.__qualname__)
+        if not fp:
+            # the function cannot be resolved at the verified commit
+            # (renamed/refactored since): the green row is evidence for
+            # code we can no longer identify, so record nothing -- the
+            # runtime treats the query as never-verified and fronts it
+            continue
         manifest[name] = {"last_green_round": rnd, "fingerprint": fp}
         if head_round is not None:
             # fingerprints at the LATEST verified commit: let the
