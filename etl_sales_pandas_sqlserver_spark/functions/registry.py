@@ -11,6 +11,8 @@ from __future__ import annotations
 from ..streaming.queries import QUERIES_EXPORT as STREAMING_QUERIES
 from .dedup import QUERIES_EXPORT as DEDUP_QUERIES
 from .multimodal import QUERIES_EXPORT as MULTIMODAL_QUERIES
+from .paragraphs import QUERIES_EXPORT as PARAGRAPH_QUERIES
+from .sampling import QUERIES_EXPORT as SAMPLING_QUERIES
 from .search import SEARCH_QUERIES
 from .similarity import QUERIES_EXPORT as SIMILARITY_QUERIES
 from .sketches import SKETCH_QUERIES
@@ -23,6 +25,8 @@ FUNCTION_QUERIES = {
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **MULTIMODAL_QUERIES,
+    **PARAGRAPH_QUERIES,
+    **SAMPLING_QUERIES,
     **STREAMING_QUERIES,
     **SKETCH_QUERIES,
     **SEARCH_QUERIES,

@@ -79,6 +79,10 @@ _REPRESENTATIVES = [
     "multimodal_wav_resample",
     "window_distinct_types_1h_chunked",
     "partition_pruned_day_load",
+    "dedup_paragraph_exact",
+    "text_diversity_stats",
+    "importance_weights_ngram",
+    "sample_weighted_priority",
 ]
 
 

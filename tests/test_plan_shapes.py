@@ -101,6 +101,14 @@ def test_source_quota_uses_window_group_limit(spark, sf_small):
     assert "WindowGroupLimit" in _optimized(fn(spark, sf_small))
 
 
+def test_weighted_priority_sample_uses_window_group_limit(spark, sf_small):
+    # per-stratum top-k must prune per-partition BEFORE the exchange;
+    # ranking the whole corpus to keep 5 rows per lang would shuffle
+    # everything to cap it
+    fn, _ = QUERIES["sample_weighted_priority"]
+    assert "WindowGroupLimit" in _optimized(fn(spark, sf_small))
+
+
 def test_curation_dedup_uses_window_group_limit(spark, sf_small):
     # the keep-first dedup stage must shuffle only per-partition
     # winners (WindowGroupLimit), not sort the whole corpus by
