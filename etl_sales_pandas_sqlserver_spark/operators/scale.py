@@ -233,7 +233,19 @@ def hybrid_lookback_window(
         .orderBy(tsu_col)
         .rangeBetween(-lookback, Window.currentRow)
     )
-    cold_out = cold.withColumn(out_col, agg_builder(w))
+    # same AQE hazard as the chunked path: window-frame evaluation is
+    # CPU-bound, but AQE coalesces the cold leg's shuffle by BYTES --
+    # a million small rows fit one 64 MB partition, and the whole cold
+    # bulk single-tasks (measured: the cold leg swung 1s -> 18s run to
+    # run on the skewed replica as AQE's size estimate crossed the
+    # threshold). An explicit repartition(n, key) is exempt from
+    # coalescing and satisfies the window's clustering requirement.
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cold_out = cold.repartition(n_parts, key).withColumn(
+        out_col, agg_builder(w)
+    )
     hot_out = chunked_lookback_window(
         hot, key, tsu_col, agg_builder, lookback, chunk, out_col
     )
