@@ -642,7 +642,114 @@ def q_stream_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 10. foreachBatch CDC upsert: maintain "latest event per user" in a
+# parquet target via per-micro-batch MERGE -- the canonical
+# stream-to-serving-table pattern (Delta/Iceberg MERGE INTO, spelled
+# with the staging-dir + atomic-swap idempotent sink this repo's
+# compaction also uses). Each batch compacts to its per-user latest,
+# unions with the current target, re-ranks, and swaps -- associative
+# over any micro-batch slicing because "latest" is a total order
+# (ts, event_id), so replay/retry converges to the same table
+# (multi-batch associativity is unit-tested; the registered query
+# checks the end state against the batch oracle).
+# ---------------------------------------------------------------------------
+
+STREAM_UPSERT_SQL = """
+  SELECT user_id,
+         event_id AS last_event_id,
+         epoch_us(ts) AS last_ts_us,
+         event_type AS last_type
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  )
+  WHERE rn = 1
+  ORDER BY user_id
+"""
+
+_UPSERT_COLS = ["user_id", "last_event_id", "last_ts_us", "last_type"]
+
+
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.col("last_ts_us").desc(), F.col("last_event_id").desc()
+        )
+    )
+    return df.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def upsert_latest_batch(
+    spark: SparkSession, batch: DataFrame, target: str
+) -> None:
+    """MERGE one (micro-)batch into the parquet target: union the
+    batch's per-user latest with the current target, keep the winner
+    per user, write to a staging dir, atomically swap. Idempotent
+    under replay (the same batch merged twice is a no-op) -- the
+    foreachBatch at-least-once contract then yields effectively-once
+    table state."""
+    import os
+    import shutil
+
+    latest = _latest_per_user(
+        batch.select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts_us").alias("last_ts_us"),
+            F.col("event_type").alias("last_type"),
+        )
+    )
+    if os.path.isdir(target):
+        current = spark.read.parquet(target).select(*_UPSERT_COLS)
+        merged = _latest_per_user(
+            current.unionByName(latest.select(*_UPSERT_COLS))
+        )
+    else:
+        merged = latest
+    staging = target + "._staging"
+    merged.select(*_UPSERT_COLS).write.mode("overwrite").parquet(staging)
+    if os.path.isdir(target):
+        shutil.rmtree(target)
+    os.rename(staging, target)
+
+
+def q_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    target = tempfile.mkdtemp(prefix="stream_upsert_tgt_")
+    # foreachBatch wants a nonexistent-or-parquet dir; start clean
+    shutil.rmtree(target, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="stream_upsert_ckpt_")
+    ev = read_events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(
+            lambda batch, _bid: upsert_latest_batch(spark, batch, target)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    import os
+
+    if not os.path.isdir(target):
+        # an empty source can terminate without a single batch
+        return spark.createDataFrame(
+            [],
+            "user_id long, last_event_id long, last_ts_us long, "
+            "last_type string",
+        )
+    return spark.read.parquet(target).select(*_UPSERT_COLS).orderBy("user_id")
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
+    "stream_upsert_latest": (q_stream_upsert_latest, STREAM_UPSERT_SQL),
     "stream_sketch_daily_users": (q_stream_sketch_daily, STREAM_SKETCH_SQL),
     "stream_topk_types_per_hour": (q_stream_topk_types, STREAM_TOPK_SQL),
     "stream_session_window_native": (

@@ -83,6 +83,7 @@ _REPRESENTATIVES = [
     "text_diversity_stats",
     "importance_weights_ngram",
     "sample_weighted_priority",
+    "stream_upsert_latest",
 ]
 
 

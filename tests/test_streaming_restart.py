@@ -52,3 +52,58 @@ def test_file_stream_restart_is_exactly_once(spark, sf_small, tmp_path):
     # third restart with NO new input must be a no-op
     run()
     assert spark.read.parquet(str(outdir)).count() == n
+
+
+def test_upsert_latest_batch_associative_and_idempotent(spark, tmp_path):
+    """The foreachBatch CDC upsert must converge to the same target
+    regardless of micro-batch slicing, and replaying a batch
+    (at-least-once delivery) must be a no-op."""
+    from pyspark.sql import functions as F
+
+    from etl_sales_pandas_sqlserver_spark.streaming.queries import (
+        _UPSERT_COLS,
+        upsert_latest_batch,
+    )
+
+    rows = [
+        # user 1: three events out of order across batches
+        (10, 1, 1, 100_000),
+        (11, 1, 1, 300_000),   # winner
+        (12, 1, 1, 200_000),
+        # user 2: tie on ts -> event_id breaks it
+        (20, 2, 2, 500_000),
+        (21, 2, 2, 500_000),   # winner (higher event_id)
+    ]
+    df = spark.createDataFrame(
+        [(eid, u, f"t{t}", ts) for eid, u, t, ts in rows],
+        "event_id long, user_id long, event_type string, ts_us long",
+    )
+
+    def run_slicing(slices, target):
+        for lo, hi in slices:
+            batch = df.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+            )
+            upsert_latest_batch(spark, batch, target)
+        return {
+            tuple(r)
+            for r in spark.read.parquet(target).select(*_UPSERT_COLS).collect()
+        }
+
+    one = run_slicing([(0, 100)], str(tmp_path / "one"))
+    three = run_slicing([(0, 11), (11, 20), (20, 100)], str(tmp_path / "three"))
+    assert one == three
+    assert {(u, e) for u, e, *_ in [(r[0], r[1]) for r in one]} == {
+        (1, 11), (2, 21)
+    }
+
+    # replay: merging the full input AGAIN changes nothing
+    replay_target = str(tmp_path / "three")
+    upsert_latest_batch(spark, df, replay_target)
+    again = {
+        tuple(r)
+        for r in spark.read.parquet(replay_target)
+        .select(*_UPSERT_COLS)
+        .collect()
+    }
+    assert again == three
