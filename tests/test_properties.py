@@ -131,3 +131,62 @@ def test_chunked_window_equals_global_window_property(
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Codec round trips: encode->decode must be the identity for ARBITRARY
+# pixel/sample content and geometry -- hypothesis explores stride
+# padding (w % 4), 1-pixel edges, extreme byte values, odd data sizes.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.integers(1, 40), st.integers(1, 20), st.integers(0, 2**32 - 1))
+def test_bmp_roundtrip_property(w, h, seed):
+    import numpy as np
+
+    from etl_sales_pandas_sqlserver_spark.functions import multimodal
+
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    dw, dh, back = multimodal.decode_bmp(multimodal.encode_bmp(pixels))
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(back, pixels)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    st.integers(1, 500),
+    st.sampled_from([8000, 16000, 44100]),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_wav_roundtrip_property(n, rate, sixteen_bit, seed):
+    import numpy as np
+
+    from etl_sales_pandas_sqlserver_spark.functions import multimodal
+
+    rng = np.random.default_rng(seed)
+    if sixteen_bit:
+        samples = rng.integers(-32768, 32768, size=n, dtype=np.int64).astype(
+            np.int16
+        )
+    else:
+        samples = rng.integers(0, 256, size=n, dtype=np.int64).astype(np.uint8)
+    got_rate, back = multimodal.decode_wav(
+        multimodal.encode_wav(samples, rate)
+    )
+    assert got_rate == rate
+    assert np.array_equal(back, samples)
+    # integer-ratio resampling agrees with direct slicing / repetition
+    down = multimodal.resample_audio(multimodal.encode_wav(samples, rate), rate // 2 if rate % 2 == 0 else rate)
+    if rate % 2 == 0:
+        assert np.array_equal(down, samples[::2])
