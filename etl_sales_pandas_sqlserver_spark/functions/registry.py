@@ -12,6 +12,7 @@ from ..streaming.queries import QUERIES_EXPORT as STREAMING_QUERIES
 from .dedup import QUERIES_EXPORT as DEDUP_QUERIES
 from .multimodal import QUERIES_EXPORT as MULTIMODAL_QUERIES
 from .paragraphs import QUERIES_EXPORT as PARAGRAPH_QUERIES
+from .checksum import QUERIES_EXPORT as CHECKSUM_QUERIES
 from .sampling import QUERIES_EXPORT as SAMPLING_QUERIES
 from .search import SEARCH_QUERIES
 from .similarity import QUERIES_EXPORT as SIMILARITY_QUERIES
@@ -27,6 +28,7 @@ FUNCTION_QUERIES = {
     **MULTIMODAL_QUERIES,
     **PARAGRAPH_QUERIES,
     **SAMPLING_QUERIES,
+    **CHECKSUM_QUERIES,
     **STREAMING_QUERIES,
     **SKETCH_QUERIES,
     **SEARCH_QUERIES,

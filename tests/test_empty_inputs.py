@@ -84,6 +84,7 @@ _REPRESENTATIVES = [
     "importance_weights_ngram",
     "sample_weighted_priority",
     "stream_upsert_latest",
+    "table_fingerprints",
 ]
 
 
@@ -102,6 +103,8 @@ def empty_sf(sf_small, tmp_path_factory) -> str:
 #: corpus (vacuously true floors) -- that IS their designed behavior
 _EXPECTED_EMPTY_ROWS = {
     "similarity_ann_recall_contract": 3,
+    # one scalar fingerprint row per table, zero-count on empty input
+    "table_fingerprints": 3,
     # the expectation suite REPORTS on empty input: 5 check rows, with
     # row_count_gt_0 correctly failing -- that is the designed loud
     # failure, not a crash

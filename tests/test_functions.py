@@ -594,3 +594,27 @@ def test_winnowing_guarantee_and_density(spark, tmp_path):
     # density: doc 3 has 40-K+1 grams; winnowing keeps well under half
     n_grams_3 = 40 - _WINNOW_K + 1
     assert 1 <= len(fps[3]) <= n_grams_3 / 2
+
+
+def test_table_fingerprint_order_insensitive_and_mutation_sensitive(spark):
+    """The fingerprint must be identical under any row order and move
+    under any single-row change -- the two properties that make it a
+    migration-validation primitive."""
+    from etl_sales_pandas_sqlserver_spark.functions.checksum import _row_hash
+
+    rows = [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    a = spark.createDataFrame(rows, "k long, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "k long, v string")
+    mut = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "e")], "k long, v string"
+    )
+
+    def fp(df):
+        from pyspark.sql import functions as F
+
+        return df.select(_row_hash(["k", "v"]).alias("h")).agg(
+            F.sum("h")
+        ).collect()[0][0]
+
+    assert fp(a) == fp(b.repartition(7))
+    assert fp(a) != fp(mut)
