@@ -13,6 +13,7 @@ from .dedup import QUERIES_EXPORT as DEDUP_QUERIES
 from .multimodal import QUERIES_EXPORT as MULTIMODAL_QUERIES
 from .paragraphs import QUERIES_EXPORT as PARAGRAPH_QUERIES
 from .checksum import QUERIES_EXPORT as CHECKSUM_QUERIES
+from .cluster_ops import QUERIES_EXPORT as CLUSTER_OPS_QUERIES
 from .sampling import QUERIES_EXPORT as SAMPLING_QUERIES
 from .search import SEARCH_QUERIES
 from .similarity import QUERIES_EXPORT as SIMILARITY_QUERIES
@@ -29,6 +30,7 @@ FUNCTION_QUERIES = {
     **PARAGRAPH_QUERIES,
     **SAMPLING_QUERIES,
     **CHECKSUM_QUERIES,
+    **CLUSTER_OPS_QUERIES,
     **STREAMING_QUERIES,
     **SKETCH_QUERIES,
     **SEARCH_QUERIES,

@@ -85,6 +85,7 @@ _REPRESENTATIVES = [
     "sample_weighted_priority",
     "stream_upsert_latest",
     "table_fingerprints",
+    "dedup_cluster_representatives",
 ]
 
 
