@@ -144,14 +144,21 @@ def chunked_lookback_window(
         chunk = 6 * lookback
     if chunk < lookback:
         raise ValueError(f"chunk ({chunk}) must be >= lookback ({lookback})")
-    # true integer division: `/` on BIGINTs returns DOUBLE, and at
-    # epoch-microsecond magnitudes a boundary row could chunk off by
-    # one ulp through the float path
-    ck = F.expr(f"`{tsu_col}` div {int(chunk)}")
+    # FLOOR division in exact int64 arithmetic. `/` on BIGINTs returns
+    # DOUBLE (a boundary row could chunk off by one ulp at
+    # epoch-microsecond magnitudes), and bare `div`/`%` truncate toward
+    # zero / keep the dividend's sign -- for NEGATIVE timestamps that
+    # shifts the chunk id by one and makes the replay test compare a
+    # negative remainder, silently dropping cross-boundary history.
+    # pmod(tsu, chunk) is always in [0, chunk), so subtracting it lands
+    # on an exact multiple of chunk where `div` equals floor division.
+    ck = F.expr(
+        f"(`{tsu_col}` - pmod(`{tsu_col}`, {int(chunk)})) div {int(chunk)}"
+    )
     native = F.struct(ck.alias("_ck"), F.lit(False).alias("_warm"))
     replay = F.struct((ck + 1).alias("_ck"), F.lit(True).alias("_warm"))
     assignments = F.when(
-        F.col(tsu_col) % F.lit(chunk) >= F.lit(chunk - lookback),
+        F.pmod(F.col(tsu_col), F.lit(chunk)) >= F.lit(chunk - lookback),
         F.array(native, replay),
     ).otherwise(F.array(native))
     staged = (

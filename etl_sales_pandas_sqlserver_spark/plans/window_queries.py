@@ -396,6 +396,9 @@ _CHUNK_US = 6 * _LOOKBACK_US  # ~17% replay overhead
 
 
 def q_distinct_types_1h_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: chunk assignment in operators/scale.py moved to floor
+    # semantics (negative-timestamp advice fix); this touch schedules
+    # the query for re-verification against the shared oracle
     from ..operators.scale import chunked_lookback_window
 
     raw = load_table(spark, sf_dir, "events")
@@ -429,6 +432,8 @@ _HYBRID_HOT_THRESHOLD = 66
 
 
 def q_distinct_types_1h_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: see q_distinct_types_1h_chunked -- re-verify after the
+    # floor-semantics fix in the shared chunk assignment
     from ..operators.scale import hybrid_lookback_window
 
     raw = load_table(spark, sf_dir, "events")

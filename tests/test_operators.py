@@ -331,6 +331,44 @@ def test_chunked_lookback_window_equals_global_window(spark):
     assert got == expected
 
 
+def test_chunked_lookback_window_negative_timestamps(spark):
+    """Regression (round-8 advice): chunk ids must use FLOOR division.
+    With truncate-toward-zero `div`, tsu in (-chunk, 0) lands in chunk
+    0 instead of -1, and a sign-of-dividend `%` makes the replay test
+    `tsu % chunk >= chunk - lookback` never fire for negative tsu, so
+    frames crossing a boundary from below silently lose history."""
+    from pyspark.sql import Window
+
+    from etl_sales_pandas_sqlserver_spark.operators.scale import (
+        chunked_lookback_window,
+    )
+
+    L, C = 100, 300
+    # rows straddling every sign-sensitive boundary: the -300/0 chunk
+    # edges, the replay band [-100, 0) of chunk -1, duplicates at a
+    # negative boundary, and frames that reach from >=0 back below 0
+    ts = [-900, -601, -600, -599, -301, -300, -299, -101, -100, -99,
+          -50, -1, -1, 0, 1, 50, 99, 100, 299, 300]
+    rows = [Row(k="a", tsu=t, rid=i) for i, t in enumerate(ts)]
+    rows += [Row(k="b", tsu=-250, rid=100), Row(k="b", tsu=-150, rid=101)]
+    df = spark.createDataFrame(rows)
+    build = lambda w: F.sum("tsu").over(w) * 1000 + F.count(F.lit(1)).over(w)
+    wg = Window.partitionBy("k").orderBy("tsu").rangeBetween(
+        -L, Window.currentRow
+    )
+    expected = {
+        (r.k, r.rid, r.agg)
+        for r in df.withColumn("agg", build(wg)).collect()
+    }
+    got = {
+        (r.k, r.rid, r.agg)
+        for r in chunked_lookback_window(
+            df, "k", "tsu", build, lookback=L, chunk=C
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_hybrid_lookback_window_equals_global_both_routes(spark):
     """With the threshold set between the two keys' row counts, one
     key routes chunked and one plain -- the union must still equal the

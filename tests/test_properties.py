@@ -92,8 +92,11 @@ def test_garbage_amounts_null_never_throw(spark, batch):
     suppress_health_check=[HealthCheck.too_slow],
 )
 @given(
+    # timestamps span NEGATIVE values too: chunk assignment must use
+    # floor semantics (round-8 advice -- `div`/`%` truncate toward
+    # zero, off-by-one chunk ids and never-firing replay below zero)
     st.lists(
-        st.tuples(st.integers(0, 2), st.integers(0, 2000)),
+        st.tuples(st.integers(0, 2), st.integers(-2000, 2000)),
         min_size=1,
         max_size=80,
     ),
