@@ -688,13 +688,25 @@ def upsert_latest_batch(
 ) -> None:
     """MERGE one (micro-)batch into the parquet target: union the
     batch's per-user latest with the current target, keep the winner
-    per user, write to a staging dir, atomically swap. Idempotent
-    under replay (the same batch merged twice is a no-op) -- the
-    foreachBatch at-least-once contract then yields effectively-once
-    table state."""
+    per user, write to a staging dir, swap via two atomic renames.
+    Idempotent under replay (the same batch merged twice is a no-op)
+    -- the foreachBatch at-least-once contract then yields
+    effectively-once table state.
+
+    Swap protocol (round-8 advice: the old rmtree(target) +
+    rename(staging) pair could crash after the rmtree and lose the
+    table): rename the CURRENT target aside to ``<target>._retired``
+    (atomic), rename staging into place (atomic), only then delete the
+    retired copy. A crash at any point leaves either the old or the
+    new table recoverable; :func:`_recover_interrupted_swap` (called
+    on entry) finishes the job, and batch-replay idempotence converges
+    the contents. On a real deployment this directory dance is the
+    poor man's version of a transactional table format's commit --
+    the protocol is what matters, not the local filesystem."""
     import os
     import shutil
 
+    _recover_interrupted_swap(target)
     latest = _latest_per_user(
         batch.select(
             "user_id",
@@ -711,10 +723,30 @@ def upsert_latest_batch(
     else:
         merged = latest
     staging = target + "._staging"
+    retired = target + "._retired"
     merged.select(*_UPSERT_COLS).write.mode("overwrite").parquet(staging)
     if os.path.isdir(target):
-        shutil.rmtree(target)
+        os.rename(target, retired)
     os.rename(staging, target)
+    shutil.rmtree(retired, ignore_errors=True)
+
+
+def _recover_interrupted_swap(target: str) -> None:
+    """Finish a swap a previous run died in the middle of. States:
+    target missing + retired present (died between the two renames)
+    -> restore the retired copy; target present + retired present
+    (died before the final cleanup) -> drop the retired copy; stale
+    staging from a died write -> drop it (it was never visible)."""
+    import os
+    import shutil
+
+    retired = target + "._retired"
+    if os.path.isdir(retired):
+        if os.path.isdir(target):
+            shutil.rmtree(retired, ignore_errors=True)
+        else:
+            os.rename(retired, target)
+    shutil.rmtree(target + "._staging", ignore_errors=True)
 
 
 def q_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:

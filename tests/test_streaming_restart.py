@@ -107,3 +107,58 @@ def test_upsert_latest_batch_associative_and_idempotent(spark, tmp_path):
         .collect()
     }
     assert again == three
+
+
+def test_upsert_swap_recovers_from_every_crash_point(spark, tmp_path):
+    """Round-8 advice: the swap must never lose the table. Simulate
+    each crash state the two-rename protocol can leave behind and
+    check the next upsert (or a bare recovery call) restores a
+    readable, correct target."""
+    import os
+    import shutil
+
+    from etl_sales_pandas_sqlserver_spark.streaming.queries import (
+        _UPSERT_COLS,
+        _recover_interrupted_swap,
+        upsert_latest_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(10, 1, "a", 100_000), (20, 2, "b", 200_000)],
+        "event_id long, user_id long, event_type string, ts_us long",
+    )
+    target = str(tmp_path / "tbl")
+    upsert_latest_batch(spark, df, target)
+    want = {
+        tuple(r)
+        for r in spark.read.parquet(target).select(*_UPSERT_COLS).collect()
+    }
+
+    # crash state 1: died between rename(target -> retired) and
+    # rename(staging -> target): target missing, retired holds the data
+    os.rename(target, target + "._retired")
+    _recover_interrupted_swap(target)
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(target).select(*_UPSERT_COLS).collect()
+    }
+    assert got == want and not os.path.exists(target + "._retired")
+
+    # crash state 2: died after the final rename but before cleanup:
+    # both target and a stale retired copy exist -> retired is dropped
+    shutil.copytree(target, target + "._retired")
+    upsert_latest_batch(spark, df, target)  # replay, also triggers recovery
+    assert not os.path.exists(target + "._retired")
+    assert not os.path.exists(target + "._staging")
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(target).select(*_UPSERT_COLS).collect()
+    }
+    assert got == want
+
+    # crash state 3: died mid-staging-write: stale staging dir only
+    os.makedirs(target + "._staging", exist_ok=True)
+    upsert_latest_batch(spark, df, target)
+    assert not os.path.exists(target + "._staging")
+    # a normal completed upsert leaves no side dirs either
+    assert sorted(os.listdir(tmp_path)) == ["tbl"]
