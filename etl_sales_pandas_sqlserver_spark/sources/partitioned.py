@@ -60,18 +60,36 @@ def partitioned_table(
     path = os.path.join(
         _PARTITIONED_ROOT, f"{table}_{part_col}_{_tag(sf_dir, table, part_col)}"
     )
-    if not os.path.isdir(path):
-        (
-            load_table(spark, sf_dir, table)
-            .withColumn(part_col, part_expr)
-            .write.mode("overwrite")
-            .partitionBy(part_col)
-            .parquet(path)
+    marker = os.path.join(path, "_SUCCESS")
+    source = load_table(spark, sf_dir, table).withColumn(part_col, part_expr)
+    if not os.path.isfile(marker):
+        # Round-8 advice: a bare isdir() check trusted half-built
+        # leftovers forever. Only Spark's _SUCCESS marker certifies a
+        # complete layout; anything else is a crash corpse. Build into
+        # a private temp dir on the same filesystem and publish with an
+        # atomic rename -- concurrent builders each build their own
+        # copy and the first rename wins (the loser verifies the
+        # winner's marker and discards its own work).
+        import shutil
+
+        os.makedirs(_PARTITIONED_ROOT, exist_ok=True)
+        scratch = tempfile.mkdtemp(
+            prefix=f".build_{table}_", dir=_PARTITIONED_ROOT
         )
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        # an EMPTY source writes no partition directories, so the read
-        # cannot infer a schema; serve the (empty) source frame with
-        # the partition column attached -- same schema, zero rows
-        return load_table(spark, sf_dir, table).withColumn(part_col, part_expr)
+        build = os.path.join(scratch, "data")
+        try:
+            source.write.mode("overwrite").partitionBy(part_col).parquet(build)
+            if os.path.isdir(path) and not os.path.isfile(marker):
+                shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(build, path)
+            except OSError:
+                if not os.path.isfile(marker):
+                    raise
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    # Explicit schema (source + derived partition column): an EMPTY
+    # source commits a layout holding only _SUCCESS, where schema
+    # inference would fail -- with the schema supplied the read returns
+    # the correct zero-row frame, and no blanket except is needed.
+    return spark.read.schema(source.schema).parquet(path)

@@ -129,6 +129,59 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(lang" in plan, plan
 
 
+def test_partitioned_table_rebuilds_half_built_layout(spark, sf_small):
+    """Round-8 advice: a crash mid-write used to leave a directory that
+    the bare isdir() check trusted forever (with a blanket except then
+    serving the unpartitioned source). Only _SUCCESS certifies a
+    layout; a markerless corpse must be rebuilt, and no scratch dirs
+    may leak."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_sales_pandas_sqlserver_spark.sources.partitioned import (
+        _PARTITIONED_ROOT,
+        _tag,
+        partitioned_table,
+    )
+
+    want = {
+        tuple(r)
+        for r in partitioned_table(
+            spark, sf_small, "events", "event_date", F.to_date("ts")
+        )
+        .groupBy("event_date")
+        .count()
+        .collect()
+    }
+    path = os.path.join(
+        _PARTITIONED_ROOT,
+        f"events_event_date_{_tag(sf_small, 'events', 'event_date')}",
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    assert os.path.isfile(marker)
+
+    # simulate the crash corpse: directory present, marker missing,
+    # data half-gone
+    os.remove(marker)
+    for sub in os.listdir(path)[:1]:
+        shutil.rmtree(os.path.join(path, sub), ignore_errors=True)
+    got = {
+        tuple(r)
+        for r in partitioned_table(
+            spark, sf_small, "events", "event_date", F.to_date("ts")
+        )
+        .groupBy("event_date")
+        .count()
+        .collect()
+    }
+    assert got == want
+    assert os.path.isfile(marker)  # rebuilt and published
+    leaks = [d for d in os.listdir(_PARTITIONED_ROOT) if d.startswith(".build_")]
+    assert leaks == []
+
+
 def test_orc_roundtrip_pushdown(spark, tmp_path):
     from etl_sales_pandas_sqlserver_spark.sources.formats import (
         read_orc,
