@@ -155,6 +155,9 @@ PARTITION_PRUNED_SQL = f"""
 
 
 def q_partition_pruned_day_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # round 9: the layout build in sources/partitioned.py moved to
+    # atomic publish + _SUCCESS-gated trust (advice fix); this touch
+    # schedules the query for re-verification over the new read path
     from ..sources.partitioned import partitioned_table
 
     ev = partitioned_table(
