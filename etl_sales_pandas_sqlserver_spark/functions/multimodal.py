@@ -288,20 +288,45 @@ def extract_binary_features(docs: DataFrame) -> DataFrame:
     )
 
 
-# DuckDB recomputes the same features from the text side (ASCII: the
-# byte at position i is ascii(substr(text, i, 1))).
-BINARY_FEATURES_SQL = """
-  WITH feats AS (
+def _bytes_cte(where: str) -> str:
+    """SQL CTE pair exposing each document's UTF-8 payload as a list of
+    BYTE values (``bs``, 1-indexed) plus its byte length (``nb``).
+
+    The kernels all operate on ``encode(text, 'UTF-8')`` payload BYTES;
+    until round 8 the oracles used ``ascii(substr(text, i, 1))``, which
+    is CHARACTER semantics and coincides with bytes only on ASCII
+    fixtures (round-8 advice). DuckDB has no blob indexing, so bytes
+    are recovered from ``to_hex(encode(text))`` with hex-digit
+    arithmetic -- exact for any input."""
+    return f"""
+  h AS (
+    SELECT doc_id, source, to_hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
+    FROM documents {where}
+  ),
+  b AS (
+    SELECT doc_id, source, nb,
+           list_transform(range(1, nb + 1),
+             i -> 16 * (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1)
+                + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bs
+    FROM h
+  )"""
+
+
+# DuckDB recomputes the same features from the payload BYTES (see
+# _bytes_cte); empty docs are kept with the kernel's sentinel values.
+BINARY_FEATURES_SQL = f"""
+  WITH {_bytes_cte("")},
+  feats AS (
     SELECT doc_id, source,
            CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
                 WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-           length(text) AS n_bytes,
-           ascii(substr(text, 1, 1)) AS first_byte,
-           list_sum(list_transform(range(1, length(text) + 1),
-                                   i -> ascii(substr(text, i, 1)))) AS byte_sum,
-           ascii(substr(text, 1, 1)) % 64 + 1 AS fake_width,
-           length(text) % 64 + 1 AS fake_height
-    FROM documents
+           nb AS n_bytes,
+           coalesce(bs[1], -1) AS first_byte,
+           coalesce(list_sum(bs), 0) AS byte_sum,
+           CASE WHEN nb > 0 THEN bs[1] % 64 + 1 ELSE 1 END AS fake_width,
+           nb % 64 + 1 AS fake_height
+    FROM b
   )
   SELECT modality, source,
          COUNT(*) AS n_docs,
@@ -402,16 +427,16 @@ def _frame_sample_kernel(
 
 
 FRAME_SAMPLE_SQL = f"""
+  WITH {_bytes_cte("WHERE CAST(doc_id % 3 AS INTEGER) = 2")}
   SELECT doc_id,
-         length(text) // {_FRAME_BYTES} AS n_frames,
-         CAST(ceil((length(text) // {_FRAME_BYTES})
+         CAST(nb // {_FRAME_BYTES} AS BIGINT) AS n_frames,
+         CAST(ceil((nb // {_FRAME_BYTES})
                    / CAST({_FRAME_EVERY_N} AS DOUBLE)) AS BIGINT) AS n_sampled,
          CAST(coalesce(list_sum(list_transform(
-             range(0, length(text) // {_FRAME_BYTES}, {_FRAME_EVERY_N}),
-             i -> ascii(substr(text, i * {_FRAME_BYTES} + 1, 1)))), 0)
+             range(0, nb // {_FRAME_BYTES}, {_FRAME_EVERY_N}),
+             i -> bs[i * {_FRAME_BYTES} + 1])), 0)
            AS BIGINT) AS sampled_first_sum
-  FROM documents
-  WHERE CAST(doc_id % 3 AS INTEGER) = 2
+  FROM b
   ORDER BY doc_id
 """
 
@@ -433,8 +458,8 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # behind the gated stub (resample_audio); the Spark-side plumbing --
 # binary column in, Arrow batches, np.add/maximum.reduceat over the
 # flat buffer with chunk boundaries, one row per chunk out -- is the
-# production shape. The oracle replays byte-exactly from the text side
-# (payloads are UTF-8 of ASCII text, so byte i == ascii(char i)).
+# production shape. The oracle replays byte-exactly from the UTF-8
+# payload bytes (_bytes_cte), valid for any text, not just ASCII.
 # ---------------------------------------------------------------------------
 
 _AUDIO_CHUNK_BYTES = 200
@@ -451,31 +476,28 @@ _AUDIO_CHUNK_SCHEMA = T.StructType(
 )
 
 AUDIO_CHUNKS_SQL = f"""
-  WITH a AS (
-    SELECT doc_id, text, length(text) AS n
-    FROM documents WHERE doc_id % 3 = 1
-  ),
+  WITH {_bytes_cte("WHERE doc_id % 3 = 1")},
   c AS (
-    SELECT doc_id, text, n,
-           UNNEST(range(0, (n + {_AUDIO_CHUNK_BYTES - 1})
+    SELECT doc_id, bs, nb,
+           UNNEST(range(0, (nb + {_AUDIO_CHUNK_BYTES - 1})
                            // {_AUDIO_CHUNK_BYTES})) AS i
-    FROM a
+    FROM b
   )
   SELECT doc_id,
          CAST(i AS BIGINT) AS chunk_idx,
          CAST(i * {_AUDIO_CHUNK_BYTES} AS BIGINT) AS start_byte,
          CAST(LEAST({_AUDIO_CHUNK_BYTES},
-                    n - i * {_AUDIO_CHUNK_BYTES}) AS BIGINT) AS n_bytes,
+                    nb - i * {_AUDIO_CHUNK_BYTES}) AS BIGINT) AS n_bytes,
          CAST(list_sum(list_transform(
                 range(i * {_AUDIO_CHUNK_BYTES} + 1,
                       i * {_AUDIO_CHUNK_BYTES} + 1
-                      + LEAST({_AUDIO_CHUNK_BYTES}, n - i * {_AUDIO_CHUNK_BYTES})),
-                j -> ascii(substr(text, j, 1)))) AS BIGINT) AS byte_sum,
+                      + LEAST({_AUDIO_CHUNK_BYTES}, nb - i * {_AUDIO_CHUNK_BYTES})),
+                j -> bs[j])) AS BIGINT) AS byte_sum,
          CAST(list_max(list_transform(
                 range(i * {_AUDIO_CHUNK_BYTES} + 1,
                       i * {_AUDIO_CHUNK_BYTES} + 1
-                      + LEAST({_AUDIO_CHUNK_BYTES}, n - i * {_AUDIO_CHUNK_BYTES})),
-                j -> ascii(substr(text, j, 1)))) AS BIGINT) AS max_byte
+                      + LEAST({_AUDIO_CHUNK_BYTES}, nb - i * {_AUDIO_CHUNK_BYTES})),
+                j -> bs[j])) AS BIGINT) AS max_byte
   FROM c
   ORDER BY doc_id, chunk_idx
 """
@@ -585,27 +607,27 @@ def _bmp_roundtrip_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
 
 
 BMP_DECODE_SQL = f"""
-  WITH d AS (
-    SELECT doc_id, text, length(text) AS n,
-           (length(text) % {_BMP_W_MOD}) + 1 AS w,
-           (ascii(substr(text, 1, 1)) % {_BMP_H_MOD}) + 1 AS h
-    FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 0
-  ),
+  -- nb > 0 mirrors the kernel's empty-payload skip (round-8 advice:
+  -- an empty doc would otherwise emit a row with div-by-zero/NULL
+  -- stats here while the kernel emits nothing); all stats are over
+  -- payload BYTES via _bytes_cte, matching the kernel on non-ASCII
+  WITH {_bytes_cte("WHERE CAST(doc_id % 3 AS INTEGER) = 0 AND length(text) > 0")},
   p AS (
-    SELECT doc_id, text, n, w, h, w * h * 3 AS npix,
-           list_sum(list_transform(range(1, n + 1),
-                                   i -> ascii(substr(text, i, 1)))) AS tsum
-    FROM d
+    SELECT doc_id, bs, nb,
+           (nb % {_BMP_W_MOD}) + 1 AS w,
+           (bs[1] % {_BMP_H_MOD}) + 1 AS h,
+           ((nb % {_BMP_W_MOD}) + 1) * ((bs[1] % {_BMP_H_MOD}) + 1) * 3 AS npix,
+           list_sum(bs) AS tsum
+    FROM b
   )
   SELECT doc_id,
          CAST(w AS BIGINT) AS width,
          CAST(h AS BIGINT) AS height,
-         CAST((npix // n) * tsum
-              + coalesce(list_sum(list_transform(
-                  range(1, (npix % n) + 1),
-                  i -> ascii(substr(text, i, 1)))), 0) AS BIGINT) AS pixel_sum,
-         CAST(ascii(substr(text, ((npix - 1) % n) + 1, 1)) AS BIGINT) AS last_px,
-         CAST(ascii(substr(text, (2 % n) + 1, 1)) AS BIGINT) AS first_blue
+         CAST((npix // nb) * tsum
+              + coalesce(list_sum(bs[1 : npix % nb]), 0) AS BIGINT)
+           AS pixel_sum,
+         CAST(bs[((npix - 1) % nb) + 1] AS BIGINT) AS last_px,
+         CAST(bs[(2 % nb) + 1] AS BIGINT) AS first_blue
   FROM p
   ORDER BY doc_id
 """
@@ -665,16 +687,19 @@ def _wav_resample_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
 _WAV_DECIM = _WAV_SRC_RATE // _WAV_TARGET_RATE
 
 WAV_RESAMPLE_SQL = f"""
+  -- nb > 0 mirrors the kernel's empty-payload skip; PCM samples are
+  -- payload BYTES via _bytes_cte, matching the kernel on non-ASCII
+  WITH {_bytes_cte("WHERE CAST(doc_id % 3 AS INTEGER) = 1 AND length(text) > 0")}
   SELECT doc_id,
-         CAST((length(text) + {_WAV_DECIM - 1}) // {_WAV_DECIM} AS BIGINT)
+         CAST((nb + {_WAV_DECIM - 1}) // {_WAV_DECIM} AS BIGINT)
            AS n_samples,
          CAST(list_sum(list_transform(
-             range(1, length(text) + 1, {_WAV_DECIM}),
-             j -> ascii(substr(text, j, 1)))) AS BIGINT) AS sample_sum,
+             range(1, nb + 1, {_WAV_DECIM}), j -> bs[j])) AS BIGINT)
+           AS sample_sum,
          CAST(list_max(list_transform(
-             range(1, length(text) + 1, {_WAV_DECIM}),
-             j -> ascii(substr(text, j, 1)))) AS BIGINT) AS max_sample
-  FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 1
+             range(1, nb + 1, {_WAV_DECIM}), j -> bs[j])) AS BIGINT)
+           AS max_sample
+  FROM b
   ORDER BY doc_id
 """
 

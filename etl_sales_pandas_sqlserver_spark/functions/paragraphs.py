@@ -16,9 +16,9 @@ Scale notes: one explode to (doc_id, paragraph_hash) rows -- linear in
 corpus tokens; the global occurrence count is a window over the hash
 (ONE shuffle, partitioned by hash -- no counts-table join back);
 per-doc rollup is a second, map-side-combinable aggregate. The
-diversity stats are a single Arrow-vectorized pass (flat uint8 buffer,
-one bincount per doc) with no shuffle at all before the tiny per-doc
-output. md5 is bit-identical in Spark and DuckDB, so the driver hash
+diversity stats are a single Arrow-vectorized pass (utf-32 code-point
+view, one unique-count per doc) with no shuffle at all before the tiny
+per-doc output. md5 is bit-identical in Spark and DuckDB, so the driver hash
 checks the paragraph identity function itself.
 """
 
@@ -71,7 +71,12 @@ PARAGRAPH_DUP_SQL = f"""
 def q_paragraph_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
-    paras = toks.select(
+    # guard the short-doc case BEFORE building the index sequence:
+    # Spark's sequence(0, -1) counts DOWN to [0, -1] (DuckDB's
+    # range(0, 0) is empty), so a <10-token doc would explode into two
+    # phantom paragraphs -- same latent-divergence class as the
+    # round-8 advice on q_text_diversity
+    paras = toks.filter(F.size("ts") >= _PARA_TOKENS).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -123,6 +128,7 @@ DIVERSITY_SQL = """
            string_split(text, '') AS cs,
            string_split(text, ' ') AS ts
     FROM documents
+    WHERE length(text) > 0
   ),
   q AS (
     SELECT doc_id,
@@ -147,6 +153,16 @@ DIVERSITY_SQL = """
 
 
 def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc lexical diversity at CHARACTER (code-point) grain.
+
+    Round-8 advice closed two kernel/oracle asymmetries here: the
+    empty-text guard is now mirrored into DIVERSITY_SQL (``WHERE
+    length(text) > 0`` -- the kernel has always skipped empty docs,
+    whose char_gini is 0/0), and the kernel counts Unicode CODE POINTS
+    (utf-32 view of the text), not UTF-8 bytes, matching DuckDB's
+    ``length()`` / ``string_split(text, '')`` semantics on non-ASCII
+    text rather than coinciding with them only on ASCII fixtures.
+    """
     import numpy as np
     import pandas as pd
 
@@ -167,10 +183,11 @@ def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sq": np.empty(len(pdf), np.int64),
             }
             for j, t in enumerate(pdf["text"]):
-                b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-                cnt = np.bincount(b, minlength=256).astype(np.int64)
+                # code points, not bytes: one uint32 per character
+                cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                cnt = np.unique(cps, return_counts=True)[1].astype(np.int64)
                 toks = t.split(" ")
-                out["n_chars"][j] = b.size
+                out["n_chars"][j] = cps.size
                 out["n_tokens"][j] = len(toks)
                 out["n_distinct_tokens"][j] = len(set(toks))
                 out["sq"][j] = int((cnt * cnt).sum())
