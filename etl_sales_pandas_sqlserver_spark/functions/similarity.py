@@ -176,10 +176,14 @@ def q_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan once per session and hands every consumer the same severed
     40-row frame."""
     from ..cache import session_checkpoint_memo
+    from ..source_tags import sf_content_tag
 
+    # the content tag makes a same-session rewrite of the vectors
+    # parquet MISS the memo automatically (round-8 advice) -- no
+    # caller-side evict_session_memos discipline required
     return session_checkpoint_memo(
         spark,
-        ("similarity_exact_topk", sf_dir),
+        ("similarity_exact_topk", sf_dir, sf_content_tag(sf_dir, "embeddings")),
         lambda: _topk_exact_build(spark, sf_dir),
     )
 
@@ -252,10 +256,16 @@ def _memoized_topk(variant: str, build: SparkQuery) -> SparkQuery:
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..cache import session_checkpoint_memo
+        from ..source_tags import sf_content_tag
 
         return session_checkpoint_memo(
             spark,
-            ("similarity_topk", variant, sf_dir),
+            (
+                "similarity_topk",
+                variant,
+                sf_dir,
+                sf_content_tag(sf_dir, "embeddings"),
+            ),
             lambda: build(spark, sf_dir),
         )
 

@@ -509,6 +509,43 @@ def test_portable_md5_slice_hash_matches_duckdb(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_similarity_memo_misses_on_source_rewrite(spark, sf_small, tmp_path):
+    """Round-8 advice: the similarity top-k memos were keyed only on
+    (name, sf_dir), so a same-session rewrite of the vectors parquet
+    under a reused sf_dir silently served the old checkpoint. With the
+    content tag folded into the key, the rewrite must MISS the memo and
+    the query must reflect the new data -- no evict call anywhere."""
+    import shutil
+    import time
+
+    from etl_sales_pandas_sqlserver_spark.functions.similarity import (
+        q_topk_exact,
+    )
+
+    sf = str(tmp_path)
+    shutil.copy(f"{sf_small}/embeddings.parquet", f"{sf}/embeddings.parquet")
+    before = q_topk_exact(spark, sf)
+    n_before = before.count()
+    assert n_before > 0
+
+    # rewrite the vectors under the SAME sf_dir: keep every other row
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM '{sf_small}/embeddings.parquet' "
+        f"WHERE vec_id % 2 = 0) TO '{sf}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    # mtime_ns granularity is ns, but ensure the stat actually moved
+    time.sleep(0.01)
+    after = q_topk_exact(spark, sf)
+    neigh = {r.neighbor_id for r in after.collect()}
+    assert neigh, "rewritten corpus must still produce neighbors"
+    assert all(v % 2 == 0 for v in neigh), (
+        "memo served stale pre-rewrite neighbors: odd vec_ids survived"
+    )
+
+
 def test_managed_cache_releases_prior_queries_caches(spark, sf_small):
     """Constructing a new cache-using query must unpersist the caches
     the previous one registered (round-5 advice: serial driver sweeps
