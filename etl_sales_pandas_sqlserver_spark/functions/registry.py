@@ -14,6 +14,7 @@ from .multimodal import QUERIES_EXPORT as MULTIMODAL_QUERIES
 from .paragraphs import QUERIES_EXPORT as PARAGRAPH_QUERIES
 from .checksum import QUERIES_EXPORT as CHECKSUM_QUERIES
 from .cluster_ops import QUERIES_EXPORT as CLUSTER_OPS_QUERIES
+from .kmeans import QUERIES_EXPORT as KMEANS_QUERIES
 from .sampling import QUERIES_EXPORT as SAMPLING_QUERIES
 from .search import SEARCH_QUERIES
 from .similarity import QUERIES_EXPORT as SIMILARITY_QUERIES
@@ -31,6 +32,7 @@ FUNCTION_QUERIES = {
     **SAMPLING_QUERIES,
     **CHECKSUM_QUERIES,
     **CLUSTER_OPS_QUERIES,
+    **KMEANS_QUERIES,
     **STREAMING_QUERIES,
     **SKETCH_QUERIES,
     **SEARCH_QUERIES,

@@ -86,6 +86,10 @@ _REPRESENTATIVES = [
     "stream_upsert_latest",
     "table_fingerprints",
     "dedup_cluster_representatives",
+    # round-9: integer k-means family
+    "cluster_kmeans_assign",
+    "cluster_kmeans_profile",
+    "semantic_dedup_kmeans",
 ]
 
 
