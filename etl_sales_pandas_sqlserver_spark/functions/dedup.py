@@ -734,19 +734,6 @@ def _combine62(c1: str, c2: str) -> str:
     return f"(({c1}) * CAST({_HASH_SHIFT} AS BIGINT) + ({c2}))"
 
 
-#: Spark: token-hash arrays th1/th2 (0-based) -> 62-bit shingle feature
-#: hashes; CASE guards sequence(1, 0) which would step backwards in Spark
-_SIMHASH_FEATURES_SPARK = f"""
-  CASE WHEN size(th1) < 3 THEN array()
-       ELSE transform(sequence(1, size(th1) - 2),
-                      i -> {_combine62(
-                          _COMBINE3.format(t0="th1[i-1]", t1="th1[i]", t2="th1[i+1]", mult=31, mod=_HASH_MOD),
-                          _COMBINE3.format(t0="th2[i-1]", t1="th2[i]", t2="th2[i+1]", mult=37, mod=_HASH_MOD),
-                      )})
-  END
-"""
-
-
 def _simhash_sql() -> str:
     bit_sums = ",\n           ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS c{j}"
@@ -816,24 +803,51 @@ SIMHASH_SQL = _simhash_sql()
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # lambda var `tok` bound by the transforms below; one native md5
-    # per token yields both 31-bit hashes (disjoint hex slices)
-    hashed = (
-        docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
-        # one md5 per token; both 31-bit hashes slice the same digest
-        .select("doc_id", F.expr("transform(w, tok -> md5(tok))").alias("wm"))
-        .select(
-            "doc_id",
-            F.expr(
-                f"transform(wm, m -> CAST(conv(substring(m, 1, 14), 16, 10)"
-                f" AS BIGINT) % {_HASH_MOD})"
-            ).alias("th1"),
-            F.expr(
-                f"transform(wm, m -> CAST(conv(substring(m, 15, 14), 16, 10)"
-                f" AS BIGINT) % {_HASH_MOD})"
-            ).alias("th2"),
-        )
-        .select("doc_id", F.explode(F.expr(_SIMHASH_FEATURES_SPARK)).alias("h"))
+    from pyspark.sql import Window
+
+    # Round-9 rewrite: the array-transform spelling evaluated FOUR
+    # interpreted lambda passes per token (md5, two conv slices, the
+    # trigram combine) -- higher-order functions never enter codegen
+    # (measured ~2.9s isolated at sf0.1, ~1.2s after). Explode tokens
+    # FIRST so md5/conv run as codegen'd columns, then build each
+    # trigram with two lead() steps in one doc-partitioned window; the
+    # bit-sum aggregate below reuses that exchange (same clustering).
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    # one md5 per token; both 31-bit hashes slice the same digest
+    th = toks.select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"CAST(conv(substring(md5(tok), 1, 14), 16, 10) AS BIGINT)"
+            f" % {_HASH_MOD}"
+        ).alias("h1"),
+        F.expr(
+            f"CAST(conv(substring(md5(tok), 15, 14), 16, 10) AS BIGINT)"
+            f" % {_HASH_MOD}"
+        ).alias("h2"),
+    )
+    wl = Window.partitionBy("doc_id").orderBy("pos")
+    tri = th.select(
+        "doc_id",
+        "h1",
+        "h2",
+        F.lead("h1", 1).over(wl).alias("h1b"),
+        F.lead("h1", 2).over(wl).alias("h1c"),
+        F.lead("h2", 1).over(wl).alias("h2b"),
+        F.lead("h2", 2).over(wl).alias("h2c"),
+    )
+    c1 = _COMBINE3.format(t0="h1", t1="h1b", t2="h1c", mult=31, mod=_HASH_MOD)
+    c2 = _COMBINE3.format(t0="h2", t1="h2b", t2="h2c", mult=37, mod=_HASH_MOD)
+    # rows whose 2-ahead lead is NULL are the tail of each doc (and
+    # docs under 3 tokens vanish entirely) -- identical to the old
+    # CASE size(th1) < 3 guard + sequence(1, size - 2) enumeration
+    hashed = tri.filter(F.col("h1c").isNotNull()).select(
+        "doc_id", F.expr(_combine62(c1, c2)).alias("h")
     )
     # bit-majority via plain bit sums: bit j set <=> 2*sum_j > n, the
     # same predicate as the oracle's sum(+-1) > 0 spelling but with
@@ -1602,31 +1616,34 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     sh = _doc_shingles(spark, sf_dir)
-    # hash INSIDE the array once; every downstream shuffle (df agg,
+    # hash AFTER the explode so xxhash64 runs as a codegen'd column
+    # (a transform() lambda is interpreted per element -- round-9
+    # rewrite, ~1s at sf0.1); every downstream shuffle (df window,
     # rank window, candidate join) then carries (doc_id, int64) rows,
     # never 3-word shingle strings. (df, hash) is still a shared TOTAL
     # order over the shingle universe, which is all prefix-filter
     # completeness requires; a 2^-64 hash collision merges two items'
     # df counts, which can only ADD candidates, never lose a pair.
-    ex = sh.select(
-        "doc_id",
-        F.explode(F.expr("transform(s, x -> xxhash64(x))")).alias("sh_hash"),
+    ex = sh.select("doc_id", F.explode("s").alias("x")).select(
+        "doc_id", F.xxhash64("x").alias("sh_hash")
     )
-    df_tbl = ex.groupBy("sh_hash").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a COUNT window over the hash (one shuffle,
+    # no counts-table join back -- the posting list never rides through
+    # a sort-merge join), then rank + set size in ONE doc-partitioned
+    # window pass (both functions share the exchange)
+    df_win = F.count(F.lit(1)).over(Window.partitionBy("sh_hash"))
+    occ = ex.withColumn("df", df_win)
     w = Window.partitionBy("doc_id").orderBy("df", "sh_hash")
-    ranked = ex.join(df_tbl, "sh_hash").withColumn(
-        "pos", F.row_number().over(w)
+    ranked = occ.withColumn("pos", F.row_number().over(w)).withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    sizes = sh.select("doc_id", F.size("s").alias("n_sh"))
     prefix_len = (
         F.col("n_sh")
         - F.expr("(9 * n_sh + 9) div 10")
         + F.lit(1)
     )
-    prefix = (
-        ranked.join(sizes, "doc_id")
-        .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "sh_hash")
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        "doc_id", "sh_hash"
     )
     a = prefix.select(F.col("doc_id").alias("a_id"), "sh_hash")
     b = prefix.select(F.col("doc_id").alias("b_id"), "sh_hash")

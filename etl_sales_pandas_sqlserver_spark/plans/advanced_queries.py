@@ -886,13 +886,20 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     # names ride along broadcast-joined AFTER the int-pair distinct,
     # which halved the query (6.6s -> 3.3s at sf0.1: the first cut
     # shuffled two 18-char strings through 1.46M candidate rows).
+    # explode the deletion positions FIRST (sequence+explode is
+    # native) so the variant build + hash run as codegen'd columns; a
+    # transform() lambda would evaluate interpreted per variant
+    # (round-9 rewrite, same class as the simhash/prefix-filter ones)
     variants = cust.select(
         "c_custkey",
-        F.explode(
+        "c_name",
+        F.explode(F.expr("sequence(0, length(c_name))")).alias("i"),
+    ).select(
+        "c_custkey",
+        F.xxhash64(
             F.expr(
-                "transform(sequence(0, length(c_name)), i -> "
-                "xxhash64(concat(substring(c_name, 1, i), "
-                "substring(c_name, i + 2, length(c_name)))))"
+                "concat(substring(c_name, 1, i), "
+                "substring(c_name, i + 2, length(c_name)))"
             )
         ).alias("vh"),
     )
