@@ -140,7 +140,15 @@ def main() -> None:
         spark.catalog.clearCache()
         return dt
 
-    for name, (fn, _sql) in QUERIES.items():
+    # FIXED name order, not registry order: the registry is rotation-
+    # ordered (changed/stale queries first), which re-shuffles the
+    # suite every round and clusters that round's heaviest queries at
+    # the front -- measured as diffuse 0.3-1s drifts on untouched
+    # queries purely from who ran before them (round-9). A stable
+    # order makes round-over-round per-query numbers comparable.
+    bench_order = sorted(QUERIES)
+    for name in bench_order:
+        fn, _sql = QUERIES[name]
         for i in range(n_runs):
             dt = one_run(name, fn)
             if i == 0:
@@ -148,7 +156,8 @@ def main() -> None:
     # extra passes for the heavies, AFTER the full sweep so their
     # re-runs aren't correlated with the same neighboring load that
     # inflated them the first time
-    for name, (fn, _sql) in QUERIES.items():
+    for name in bench_order:
+        fn, _sql = QUERIES[name]
         if timings[name] > heavy_sec:
             for _ in range(heavy_extra):
                 one_run(name, fn)
