@@ -131,6 +131,25 @@ def test_chunked_window_partitions_by_key_and_chunk(spark, sf_small):
     ), "window exchange lost the chunk component of the partition key"
 
 
+def test_kmeans_assignment_is_map_only(spark, sf_small):
+    """The k-means assignment pass must be MAP-ONLY: the K x DIM
+    centroid table is driver state folded into the scan as literal
+    expressions, so the per-row argmin involves no join and no
+    exchange. A join-based assignment would shuffle the corpus once
+    per Lloyd iteration -- the exact cost the design avoids at scale."""
+    from etl_sales_pandas_sqlserver_spark.functions.kmeans import (
+        _K,
+        _quantized,
+        _with_assignment,
+    )
+
+    q = _quantized(spark, sf_small)
+    cents = [list(r.e) for r in q.orderBy("vec_id").limit(_K).collect()]
+    plan = _physical(_with_assignment(q, cents))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_partition_pruned_scan_filters_at_planning_time(spark, sf_small):
     """The hive-partitioned events scan must resolve the 3-day
     predicate in PartitionFilters (directories never listed), not as a
