@@ -85,3 +85,43 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan; filter pushdown and column pruning apply exactly as
     for parquet (shown by PushedFilters in .explain)."""
     return spark.read.orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: "T.StructType | None" = None,
+) -> DataFrame:
+    """XML scan (native data source since Spark 4 -- no spark-xml
+    package). ``row_tag`` names the repeated element that becomes one
+    row; nested elements map to struct/array columns.
+
+    Same schema discipline as read_jsonl: pass one explicitly in
+    production -- inference is an extra full pass over the data and
+    silently widens types. Corrupt records follow the standard
+    PERMISSIVE contract (columnNameOfCorruptRecord) when the schema
+    includes the corrupt-record column.
+    """
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str, root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink (native in Spark 4); one ``row_tag`` element per row
+    under ``root_tag``, through Spark's committer like every other
+    writer here. XML is an interchange-only format: no pushdown, no
+    column pruning, every scan is a full parse -- land it into parquet
+    at the ingest edge and never query it in place at scale."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )

@@ -182,6 +182,63 @@ def test_partitioned_table_rebuilds_half_built_layout(spark, sf_small):
     assert leaks == []
 
 
+def test_xml_roundtrip_and_corrupt_record(spark, tmp_path):
+    """Native Spark-4 XML: typed round trip through write_xml/read_xml
+    (nested struct column included), plus the PERMISSIVE corrupt-record
+    contract on malformed rows."""
+    from pyspark.sql import types as T
+
+    from etl_sales_pandas_sqlserver_spark.sources.formats import (
+        read_xml,
+        write_xml,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", (10.5, "x")), (2, "b", (20.25, "y"))],
+        "id long, name string, meta struct<score: double, tag: string>",
+    )
+    out = str(tmp_path / "xmlout")
+    write_xml(df, out, row_tag="doc", root_tag="corpus")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField(
+                "meta",
+                T.StructType(
+                    [
+                        T.StructField("score", T.DoubleType()),
+                        T.StructField("tag", T.StringType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    back = read_xml(spark, out, row_tag="doc", schema=schema)
+    got = {(r.id, r.name, r.meta.score, r.meta.tag) for r in back.collect()}
+    assert got == {(1, "a", 10.5, "x"), (2, "b", 20.25, "y")}
+
+    # malformed row -> corrupt-record column, well-formed rows survive
+    bad = str(tmp_path / "bad.xml")
+    with open(bad, "w") as f:
+        f.write(
+            "<rows><doc><id>1</id><name>ok</name></doc>"
+            "<doc><id>NOT A NUMBER</id><name>broken</name></doc></rows>"
+        )
+    schema2 = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    rows = read_xml(spark, bad, row_tag="doc", schema=schema2).collect()
+    ok = [r for r in rows if r.id is not None]
+    broken = [r for r in rows if r.id is None]
+    assert [r.name for r in ok] == ["ok"]
+    assert len(broken) == 1 and broken[0]._corrupt_record is not None
+
+
 def test_orc_roundtrip_pushdown(spark, tmp_path):
     from etl_sales_pandas_sqlserver_spark.sources.formats import (
         read_orc,
