@@ -903,15 +903,16 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # the hamming XOR-popcount prefilter above keeps the candidate set
-    # small before the exact verify; verifying string-array
-    # intersections is still costly, so hash each shingle to 64 bits
-    # first: intersect counts are identical (distinct inputs, collision
-    # odds ~1e-11) and the intersect runs on longs. hamming rides
-    # through the verify join, so cand is consumed exactly once -- no
-    # cache, no re-join.
-    sh = _doc_shingles(spark, sf_dir).withColumn(
-        "s", F.transform("s", lambda x: F.xxhash64(x))
-    )
+    # SMALL before the exact verify, so the intersect runs on raw
+    # string arrays: it only ever evaluates on |candidates| joined rows
+    # (cand broadcasts; the shingle frame streams through). The old
+    # hash-the-arrays-first step paid an interpreted transform over
+    # EVERY shingle in the corpus to cheapen intersects that the
+    # prefilter had already made rare -- strictly more work (round-9;
+    # string intersects also match the oracle exactly, no collision
+    # caveat). hamming rides through the verify join, so cand is
+    # consumed exactly once -- no cache, no re-join.
+    sh = _doc_shingles(spark, sf_dir)
     return (
         _verify_jaccard(cand, sh)
         .select("a_id", "b_id", "hamming", "jaccard")
