@@ -36,10 +36,13 @@ Scale shape (the 100 TB story):
   largest cluster; production picks K proportional to corpus size to
   cap it. The per-cluster Gram matrix is an exact int64 numpy matmul
   inside ``applyInPandas`` (order-independent, Arrow-batched).
-- int64 headroom: |coord| <= ~2**22 after quantization, so a squared
-  distance is <= DIM * 2**46 and per-cluster coordinate sums stay
-  exact past 10**9 rows; the dist SUM in the profile would need
-  decimal accumulation far beyond that (documented at the agg).
+- int64 headroom: the quantizer ENFORCES |x| <= 8 (so |coord| <= 2**23
+  after quantization) via assert_true -- out-of-envelope input raises
+  loudly in Spark instead of wrapping silently while DuckDB raises on
+  overflow (r9 advice). Within the envelope a squared distance is
+  <= DIM * 2**48 and per-cluster coordinate sums stay exact past
+  10**9 rows; the dist SUM in the profile would need decimal
+  accumulation far beyond that (documented at the agg).
 """
 
 from __future__ import annotations
@@ -64,11 +67,20 @@ _SEM_THRESHOLD = 0.4
 
 def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # int64-headroom envelope: the squared-distance and coordinate-sum
+    # arithmetic is exact only for |x| <= 8 (|quantized| <= 2**23).
+    # Outside it, Spark's non-ANSI int64 wraps SILENTLY while DuckDB
+    # raises — assert_true turns that into a loud cross-engine error
+    # instead of a silent divergence (r9 advice). assert_true yields
+    # NULL when the predicate holds, so the coalesce adds 0.
     return emb.select(
         "vec_id",
         F.expr(
             f"transform(embedding, x -> "
-            f"CAST(floor(CAST(x AS DOUBLE) * {_Q}.0) AS BIGINT))"
+            f"CAST(floor(CAST(x AS DOUBLE) * {_Q}.0) AS BIGINT) "
+            f"+ CAST(coalesce(assert_true(abs(CAST(x AS DOUBLE)) <= 8.0D, "
+            f"'kmeans quantizer: |coordinate| > 8 exceeds the int64 "
+            f"headroom envelope'), 0) AS BIGINT))"
         ).alias("e"),
     )
 
@@ -89,7 +101,9 @@ def _with_assignment(q: DataFrame, cents: "list[list[int]]") -> DataFrame:
     for j, c in enumerate(cents):
         d = d.withColumn(f"_d{j}", _dist_expr(c))
     dcols = [F.col(f"_d{j}") for j in range(len(cents))]
-    md = F.least(*dcols)
+    # F.least needs >= 2 columns; a 1-row corpus (K clamps to 1
+    # centroid) is a plain single-cluster assignment
+    md = dcols[0] if len(dcols) == 1 else F.least(*dcols)
     cl = F.coalesce(
         *[F.when(dc == md, F.lit(j)) for j, dc in enumerate(dcols)]
     )

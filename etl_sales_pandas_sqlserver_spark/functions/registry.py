@@ -14,6 +14,8 @@ from .multimodal import QUERIES_EXPORT as MULTIMODAL_QUERIES
 from .paragraphs import QUERIES_EXPORT as PARAGRAPH_QUERIES
 from .checksum import QUERIES_EXPORT as CHECKSUM_QUERIES
 from .cluster_ops import QUERIES_EXPORT as CLUSTER_OPS_QUERIES
+from .corpus_diff import QUERIES_EXPORT as CORPUS_DIFF_QUERIES
+from .quality_calibration import QUERIES_EXPORT as QUALITY_CAL_QUERIES
 from .kmeans import QUERIES_EXPORT as KMEANS_QUERIES
 from .sampling import QUERIES_EXPORT as SAMPLING_QUERIES
 from .search import SEARCH_QUERIES
@@ -32,6 +34,8 @@ FUNCTION_QUERIES = {
     **SAMPLING_QUERIES,
     **CHECKSUM_QUERIES,
     **CLUSTER_OPS_QUERIES,
+    **CORPUS_DIFF_QUERIES,
+    **QUALITY_CAL_QUERIES,
     **KMEANS_QUERIES,
     **STREAMING_QUERIES,
     **SKETCH_QUERIES,

@@ -687,14 +687,29 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_BUCKETS = 64
 _DSIR_TARGET_LANG = "en"
 
+# Byte-grain oracle (round 10): the Spark kernel hashes UTF-8 payload
+# BYTES, so the oracle must too. DuckDB has no blob indexing; bytes are
+# recovered from to_hex(encode(text)) with hex-digit arithmetic, the
+# same _bytes_cte spelling the five multimodal oracles adopted in r9
+# (until r10 this was char-grain ascii(substr(...)) — ASCII-only).
 IMPORTANCE_WEIGHTS_SQL = f"""
-  WITH pairs AS (
-    SELECT doc_id, lang,
-           UNNEST(list_transform(range(1, length(text)), i ->
-              (ascii(substr(text, i, 1)) * 31
-               + ascii(substr(text, i + 1, 1))) % {_DSIR_BUCKETS}))
-             AS bucket
+  WITH h AS (
+    SELECT doc_id, lang, to_hex(encode(text)) AS hx,
+           octet_length(encode(text)) AS nb
     FROM documents
+  ),
+  b AS (
+    SELECT doc_id, lang, nb,
+           list_transform(range(1, nb + 1),
+             i -> 16 * (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1)
+                + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)) AS bs
+    FROM h
+  ),
+  pairs AS (
+    SELECT doc_id, lang,
+           UNNEST(list_transform(range(1, nb), i ->
+              (bs[i] * 31 + bs[i + 1]) % {_DSIR_BUCKETS})) AS bucket
+    FROM b
   ),
   tc AS (SELECT bucket, COUNT(*) AS c FROM pairs
          WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1),
@@ -743,17 +758,15 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             pdf = pdf[[len(t) > 0 for t in pdf["text"]]]
             if len(pdf) == 0:
                 continue
-            texts = pdf["text"]
+            # byte grain throughout: offsets, boundary mask, and the
+            # bigram hash all run over each doc's UTF-8 payload bytes,
+            # matching the byte-recovery oracle — non-ASCII is exact,
+            # not an error (the ASCII-only guard died in r10)
+            bts = [t.encode("utf-8") for t in pdf["text"]]
             lens = np.fromiter(
-                (len(t) for t in texts), dtype=np.int64, count=len(texts)
+                (len(t) for t in bts), dtype=np.int64, count=len(bts)
             )
-            buf = np.frombuffer(
-                "".join(texts).encode("utf-8"), dtype=np.uint8
-            )
-            # testdata text is pure ASCII (asserted in tests), so
-            # byte counts == char counts and the concat offsets hold
-            if buf.size != int(lens.sum()):
-                raise ValueError("non-ASCII text in bigram kernel")
+            buf = np.frombuffer(b"".join(bts), dtype=np.uint8)
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
             v = (

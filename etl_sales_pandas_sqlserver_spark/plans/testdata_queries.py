@@ -568,12 +568,14 @@ def _register_extensions() -> None:
     QUERIES.update(TPCH_SUITE2_QUERIES)
     QUERIES.update(WINDOW_QUERIES)
     QUERIES.update(SCALE_QUERIES)
-    try:
-        from ..functions.registry import FUNCTION_QUERIES
+    # Fail-loudly stance (SURVEY.md §2.7): a broken module inside the
+    # function-family registry must raise here, not silently shrink
+    # ``queries()`` to the ~45 Layer-A survivors — the driver would
+    # happily verify the survivors and never notice ~110 missing
+    # entries. (This was an ``except ImportError: pass`` until r10.)
+    from ..functions.registry import FUNCTION_QUERIES
 
-        QUERIES.update(FUNCTION_QUERIES)
-    except ImportError:
-        pass
+    QUERIES.update(FUNCTION_QUERIES)
 
     # Staleness-aware automatic rotation (round 5+): stale-evidence
     # queries (code changed since last green driver row, or never
@@ -597,3 +599,14 @@ def _register_extensions() -> None:
 
 
 _register_extensions()
+
+# Registry-size floor: 158 as of round 10 (155 + corpus_diff ×2 +
+# quality_calibration ×1). If a refactor ever drops a whole family,
+# fail at import time rather than letting the driver verify a
+# shrunken registry.
+_REGISTRY_FLOOR = 158
+if len(QUERIES) < _REGISTRY_FLOOR:  # pragma: no cover - tripwire
+    raise RuntimeError(
+        f"query registry shrank: {len(QUERIES)} < {_REGISTRY_FLOOR} — "
+        "a family module failed to merge"
+    )

@@ -38,12 +38,18 @@ def sf_content_tag(sf_dir: str, *tables: str) -> tuple:
 
 
 def _path_tag(p: str):
+    # st_ino is folded in alongside (mtime_ns, size): on filesystems
+    # with coarse mtime granularity a same-size replace within one
+    # timestamp tick would otherwise tag identically and serve a stale
+    # memo (r9 advice). A replaced file is a new inode; only a literal
+    # in-place overwrite reuses one, and parquet writers always write
+    # a new file then rename.
     try:
         st = os.stat(p)
     except OSError:
         return None
     if not os.path.isdir(p):
-        return (st.st_mtime_ns, st.st_size)
+        return (st.st_ino, st.st_mtime_ns, st.st_size)
     children = []
     try:
         for name in sorted(os.listdir(p)):
@@ -51,7 +57,7 @@ def _path_tag(p: str):
                 cst = os.stat(os.path.join(p, name))
             except OSError:
                 continue
-            children.append((name, cst.st_mtime_ns, cst.st_size))
+            children.append((name, cst.st_ino, cst.st_mtime_ns, cst.st_size))
     except OSError:
         pass
     return tuple(children)

@@ -770,6 +770,10 @@ def q_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ckpt, ignore_errors=True)
     import os
 
+    # r9 advice: recovery ran only on upsert ENTRY, so a crash between
+    # the two renames left the target missing until the next batch --
+    # readers racing the swap window must also finish the job
+    _recover_interrupted_swap(target)
     if not os.path.isdir(target):
         # an empty source can terminate without a single batch
         return spark.createDataFrame(

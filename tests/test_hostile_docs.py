@@ -49,7 +49,13 @@ def hostile_sf_dir(tmp_path_factory):
         {
             "doc_id": pa.array([i for i, _ in _DOCS], pa.int64()),
             "text": pa.array([t for _, t in _DOCS], pa.string()),
-            "lang": pa.array(["en"] * len(_DOCS), pa.string()),
+            # mixed langs so the DSIR target('en') and raw histograms
+            # genuinely diverge over the non-ASCII docs
+            "lang": pa.array(
+                ["fr" if i == 3 else "de" if i == 4 else "en"
+                 for i, _ in _DOCS],
+                pa.string(),
+            ),
             "source": pa.array(["synthetic"] * len(_DOCS), pa.string()),
             "n_chars": pa.array([len(t) for _, t in _DOCS], pa.int64()),
         }
@@ -74,6 +80,10 @@ _AFFECTED = [
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "multimodal_audio_chunks",
+    # r10: oracle moved from char-grain ascii(substr) to byte recovery;
+    # the kernel's ASCII-only ValueError guard is gone — multi-byte
+    # docs (3, 4, 8) must now hash identically on both engines
+    "importance_weights_ngram",
 ]
 
 

@@ -119,6 +119,29 @@ def test_corpus_smaller_than_k(spark, tmp_path):
     assert q_semantic_dedup(spark, sf).count() >= 0  # no crash
 
 
+def test_corpus_of_one(spark, tmp_path):
+    """n=1: a single centroid means F.least has a single distance
+    column — r9 advice caught that the 2-arg-minimum crashed here."""
+    rng = np.random.default_rng(5)
+    sf = _write_embeddings(tmp_path, rng.standard_normal((1, _DIM)).astype(np.float32))
+    a = q_kmeans_assign(spark, sf).collect()
+    assert len(a) == 1
+    assert a[0].cluster_id == 0 and a[0].dist == 0
+    prof = q_kmeans_profile(spark, sf).collect()
+    assert len(prof) == 1 and prof[0].n_members == 1
+    assert q_semantic_dedup(spark, sf).count() == 0
+
+
+def test_out_of_envelope_coordinate_raises(spark, tmp_path):
+    """|x| > 8 exceeds the int64 headroom envelope: Spark must raise
+    loudly (assert_true) rather than wrap where DuckDB would raise."""
+    mat = np.zeros((2, _DIM), dtype=np.float32)
+    mat[1, 3] = 9.5
+    sf = _write_embeddings(tmp_path, mat)
+    with pytest.raises(Exception, match="headroom envelope"):
+        q_kmeans_assign(spark, sf).collect()
+
+
 def test_profile_consistent_with_assignment(spark, planted_sf):
     a = q_kmeans_assign(spark, planted_sf).collect()
     prof = {r.cluster_id: r for r in q_kmeans_profile(spark, planted_sf).collect()}
