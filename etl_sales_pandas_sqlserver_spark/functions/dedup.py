@@ -125,6 +125,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     and every consumer reads the severed-lineage frame, which also
     retires the per-query cache registrations for it."""
     from ..cache import session_checkpoint_memo
+    from ..source_tags import sf_content_tag
 
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
@@ -132,7 +133,14 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
         ).select("doc_id", F.expr(_SHINGLES_EXPR).alias("s"))
 
-    return session_checkpoint_memo(spark, ("doc_shingles", sf_dir), build)
+    # the content tag in the key makes a same-session rewrite of the
+    # documents parquet MISS the memo (r9 advice; same spelling as the
+    # similarity/kmeans memos)
+    return session_checkpoint_memo(
+        spark,
+        ("doc_shingles", sf_dir, sf_content_tag(sf_dir, "documents")),
+        build,
+    )
 
 
 def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
@@ -645,10 +653,11 @@ def _minhash_signature(ex: DataFrame) -> DataFrame:
 
 def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import session_checkpoint_memo
+    from ..source_tags import sf_content_tag
 
     return session_checkpoint_memo(
         spark,
-        ("minhash_pairs", sf_dir),
+        ("minhash_pairs", sf_dir, sf_content_tag(sf_dir, "documents")),
         lambda: _minhash_pairs_plan(spark, sf_dir),
     )
 

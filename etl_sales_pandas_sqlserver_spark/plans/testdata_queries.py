@@ -183,14 +183,21 @@ _VALID_SALES_SQL = f"""
 
 def _sales_raw_cp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import session_checkpoint_memo
+    from ..source_tags import sf_content_tag
 
+    # lineitem content tag in the key: a same-session rewrite of the
+    # source parquet misses the memo instead of serving the stale
+    # checkpoint (r9 advice; same spelling as the similarity memos)
     return session_checkpoint_memo(
-        spark, ("sales_raw", sf_dir), lambda: synth_sales_raw(spark, sf_dir)
+        spark,
+        ("sales_raw", sf_dir, sf_content_tag(sf_dir, "lineitem")),
+        lambda: synth_sales_raw(spark, sf_dir),
     )
 
 
 def _valid_sales_cp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..cache import session_checkpoint_memo
+    from ..source_tags import sf_content_tag
 
     def build() -> DataFrame:
         order = [F.col(c).asc_nulls_last() for c in _DEDUP_ORDER_COLS]
@@ -198,7 +205,11 @@ def _valid_sales_cp(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sales_raw_cp(spark, sf_dir), order=order
         )
 
-    return session_checkpoint_memo(spark, ("sales_valid", sf_dir), build)
+    return session_checkpoint_memo(
+        spark,
+        ("sales_valid", sf_dir, sf_content_tag(sf_dir, "lineitem")),
+        build,
+    )
 
 
 def q_clean_valid_sales(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -78,18 +78,39 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: State-store partition count, captured from spark.sql.shuffle.partitions
+#: at CHECKPOINT CREATION and immutable for the checkpoint's lifetime.
+#: Each partition is one state-store instance with fixed per-batch
+#: overhead (maintenance thread, snapshot/delta files), so a local
+#: availableNow run over sf-scale input pays ~32 stores' overhead for a
+#: handful of open windows: measured 1.77s -> 1.14s warm on
+#: stream_hourly_agg at 8. A real deployment sizes this to state VOLUME
+#: (keys x state size / executor memory), not down -- these finite
+#: driver-checked streams are the small-state case.
+_STATE_STORE_PARTITIONS = 8
+
+
 def _run_to_table(spark: SparkSession, result: DataFrame, mode: str) -> DataFrame:
     """Execute a finite stream into a memory sink and return the sink
-    table."""
+    table. Shuffle partitions are pinned to ``_STATE_STORE_PARTITIONS``
+    for the duration of the run (fresh checkpoint every run, so the
+    capture happens here) and restored after."""
     name = f"stream_sink_{next(_sink_counter)}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_STATE_STORE_PARTITIONS)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 

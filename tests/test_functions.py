@@ -546,6 +546,77 @@ def test_similarity_memo_misses_on_source_rewrite(spark, sf_small, tmp_path):
     )
 
 
+def test_dedup_memos_miss_on_documents_rewrite(spark, sf_small, tmp_path):
+    """r10: the doc_shingles / minhash_pairs memos carry a documents
+    content tag in their keys — a same-session rewrite of the corpus
+    parquet under a reused sf_dir must rebuild, not serve stale."""
+    import shutil
+
+    import duckdb
+
+    from etl_sales_pandas_sqlserver_spark.functions.dedup import (
+        _doc_shingles,
+        minhash_verified_pairs,
+    )
+
+    sf = str(tmp_path)
+    shutil.copy(f"{sf_small}/documents.parquet", f"{sf}/documents.parquet")
+    n_before = _doc_shingles(spark, sf).count()
+    assert n_before > 0
+    minhash_verified_pairs(spark, sf).count()
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM '{sf_small}/documents.parquet' "
+        f"WHERE doc_id % 2 = 0) TO '{sf}/documents.parquet' (FORMAT PARQUET)"
+    )
+    after = _doc_shingles(spark, sf)
+    ids = {r.doc_id for r in after.select("doc_id").collect()}
+    assert ids and all(i % 2 == 0 for i in ids), (
+        "doc_shingles memo served stale pre-rewrite corpus"
+    )
+    pairs = minhash_verified_pairs(spark, sf).collect()
+    assert all(r.a_id % 2 == 0 and r.b_id % 2 == 0 for r in pairs), (
+        "minhash_pairs memo served stale pre-rewrite pairs"
+    )
+
+
+def test_sales_memos_miss_on_lineitem_rewrite(spark, sf_small, tmp_path):
+    """r10: sales_raw / sales_valid memo keys carry a lineitem content
+    tag — rewriting the source table under the same sf_dir rebuilds."""
+    import os
+    import shutil
+
+    import duckdb
+
+    from etl_sales_pandas_sqlserver_spark.plans.testdata_queries import (
+        _sales_raw_cp,
+        _valid_sales_cp,
+    )
+
+    sf = str(tmp_path)
+    for t in os.listdir(sf_small):
+        src = os.path.join(sf_small, t)
+        if os.path.isfile(src):
+            shutil.copy(src, os.path.join(sf, t))
+    n_raw = _sales_raw_cp(spark, sf).count()
+    n_valid = _valid_sales_cp(spark, sf).count()
+    assert n_raw > 0 and n_valid > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM '{sf_small}/lineitem.parquet' "
+        f"WHERE l_orderkey % 2 = 0) TO '{sf}/lineitem.parquet' "
+        f"(FORMAT PARQUET)"
+    )
+    assert _sales_raw_cp(spark, sf).count() < n_raw, (
+        "sales_raw memo served stale pre-rewrite rows"
+    )
+    assert _valid_sales_cp(spark, sf).count() < n_valid, (
+        "sales_valid memo served stale pre-rewrite rows"
+    )
+
+
 def test_managed_cache_releases_prior_queries_caches(spark, sf_small):
     """Constructing a new cache-using query must unpersist the caches
     the previous one registered (round-5 advice: serial driver sweeps
