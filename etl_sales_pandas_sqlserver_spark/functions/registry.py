@@ -21,6 +21,7 @@ from .sampling import QUERIES_EXPORT as SAMPLING_QUERIES
 from .search import SEARCH_QUERIES
 from .similarity import QUERIES_EXPORT as SIMILARITY_QUERIES
 from .sketches import SKETCH_QUERIES
+from .source_stats import QUERIES_EXPORT as SOURCE_STATS_QUERIES
 from .textstats import TEXT_QUERIES
 from .traindata import TRAINDATA_QUERIES
 
@@ -40,4 +41,5 @@ FUNCTION_QUERIES = {
     **STREAMING_QUERIES,
     **SKETCH_QUERIES,
     **SEARCH_QUERIES,
+    **SOURCE_STATS_QUERIES,
 }

@@ -47,9 +47,9 @@ def test_registry_consistency():
     o = e.oracle_sql()
     assert set(o).issubset(set(q))
     assert q, "queries() must not be empty"
-    # Pin the registry floor (158 = r10 count). A broken family import
+    # Pin the registry floor (161 = r10 count). A broken family import
     # must raise at import time, never shrink queries() silently.
-    assert len(q) >= 158, f"registry shrank to {len(q)}"
+    assert len(q) >= 161, f"registry shrank to {len(q)}"
 
 
 def test_synth_partsupp_matches_cte_and_tpch_shape(spark, sf_small):
