@@ -87,10 +87,11 @@ def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     word 3-shingles every text near-dup detector keys on."""
     sh = _doc_shingles(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    ss = (
-        sh.join(src, "doc_id")
-        .select("source", F.explode("s").alias("shingle"))
-        .distinct()
+    # no .distinct() before the groupBy: collect_set dedups sources per
+    # shingle anyway, and a distinct would add a second full shuffle
+    # keyed on (source, shingle) ahead of the shingle-keyed one
+    ss = sh.join(src, "doc_id").select(
+        "source", F.explode("s").alias("shingle")
     )
     per = (
         ss.groupBy("shingle")
