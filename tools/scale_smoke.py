@@ -57,6 +57,10 @@ FAMILIES: dict[str, list[str]] = {
         "dedup_containment_pairs",
     ],
     "graph": ["graph_pagerank_dup"],
+    # round-10: cross-source pair fan-out risk — per-shingle source
+    # sets are collect_set-bounded by |sources|, so 10x docs must cost
+    # ~10x, not |pairs|x
+    "xsource": ["contamination_matrix_sources"],
 }
 
 #: round-8: hot-key families, run against the SKEWED 10x events
