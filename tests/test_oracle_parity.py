@@ -52,6 +52,29 @@ def test_registry_consistency():
     assert len(q) >= 161, f"registry shrank to {len(q)}"
 
 
+def test_broken_family_import_raises():
+    """r10 (r9 verdict #3): a broken module inside the function-family
+    registry must make the registry import RAISE, not silently shrink
+    queries() to the Layer-A survivors (the old ``except ImportError:
+    pass`` did exactly that)."""
+    import importlib
+    import sys
+
+    import etl_sales_pandas_sqlserver_spark.plans.testdata_queries as tq
+
+    reg = "etl_sales_pandas_sqlserver_spark.functions.registry"
+    saved = sys.modules.pop(reg)
+    # None in sys.modules makes any import of the name raise ImportError
+    sys.modules[reg] = None
+    try:
+        with pytest.raises(ImportError):
+            importlib.reload(tq)
+    finally:
+        sys.modules[reg] = saved
+        importlib.reload(tq)
+    assert len(tq.QUERIES) >= 161
+
+
 def test_synth_partsupp_matches_cte_and_tpch_shape(spark, sf_small):
     """The derived partsupp frame and its DuckDB CTE twin must stay in
     lockstep (every partsupp-family oracle embeds the CTE), and the
