@@ -9,6 +9,7 @@ driver records a weaker rows-only check.
 from __future__ import annotations
 
 from ..streaming.queries import QUERIES_EXPORT as STREAMING_QUERIES
+from .batching import QUERIES_EXPORT as BATCHING_QUERIES
 from .dedup import QUERIES_EXPORT as DEDUP_QUERIES
 from .multimodal import QUERIES_EXPORT as MULTIMODAL_QUERIES
 from .paragraphs import QUERIES_EXPORT as PARAGRAPH_QUERIES
@@ -42,4 +43,5 @@ FUNCTION_QUERIES = {
     **SKETCH_QUERIES,
     **SEARCH_QUERIES,
     **SOURCE_STATS_QUERIES,
+    **BATCHING_QUERIES,
 }
