@@ -63,6 +63,31 @@ def test_oov_rate_bounds_and_vocab_coverage(spark, sf_small):
     assert _VOCAB_K > 0
 
 
+def test_next_pow2_bit_math_matches_python(spark):
+    """The engine's next-pow2 spelling (1 << length(bin(n-1))) must
+    agree with Python's exact int.bit_length across the whole
+    envelope: every power of two, its neighbors, and a coarse sweep.
+    This is the cross-engine-exactness argument (no log2) verified
+    against a third implementation."""
+    from pyspark.sql import functions as F
+
+    ns = sorted(
+        {1, 2, 3}
+        | {2**k + d for k in range(1, 40) for d in (-1, 0, 1)}
+        | {i * 997 + 13 for i in range(200)}
+    )
+    df = spark.createDataFrame([(n,) for n in ns], "n long").select(
+        "n",
+        F.when(F.col("n") <= 16, F.lit(16).cast("long"))
+        .otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(n - 1)))"))
+        .alias("cap"),
+    )
+    got = {r.n: r.cap for r in df.collect()}
+    for n in ns:
+        want = 16 if n <= 16 else 1 << (n - 1).bit_length()
+        assert got[n] == want, (n, got[n], want)
+
+
 def test_oov_vocab_plan_shape(spark, sf_small):
     # the top-K vocab must plan as TakeOrderedAndProject (per-partition
     # top-k, K rows only — never a global sort), and its rejoin to the

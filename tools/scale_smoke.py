@@ -61,6 +61,10 @@ FAMILIES: dict[str, list[str]] = {
     # sets are collect_set-bounded by |sources|, so 10x docs must cost
     # ~10x, not |pairs|x
     "xsource": ["contamination_matrix_sources"],
+    # round-10: the replica token suffixes give the 10x corpus ~10x
+    # DISTINCT tokens, so this exercises the token-count agg and the
+    # TakeOrdered vocab at 10x vocabulary, not just 10x occurrences
+    "batching_oov": ["oov_rate_by_source"],
 }
 
 #: round-8: hot-key families, run against the SKEWED 10x events
