@@ -11,6 +11,7 @@ from __future__ import annotations
 from ..streaming.queries import QUERIES_EXPORT as STREAMING_QUERIES
 from .batching import QUERIES_EXPORT as BATCHING_QUERIES
 from .dedup import QUERIES_EXPORT as DEDUP_QUERIES
+from .histograms import QUERIES_EXPORT as HISTOGRAM_QUERIES
 from .multimodal import QUERIES_EXPORT as MULTIMODAL_QUERIES
 from .paragraphs import QUERIES_EXPORT as PARAGRAPH_QUERIES
 from .checksum import QUERIES_EXPORT as CHECKSUM_QUERIES
@@ -44,4 +45,5 @@ FUNCTION_QUERIES = {
     **SEARCH_QUERIES,
     **SOURCE_STATS_QUERIES,
     **BATCHING_QUERIES,
+    **HISTOGRAM_QUERIES,
 }

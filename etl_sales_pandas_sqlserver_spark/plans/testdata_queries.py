@@ -611,11 +611,12 @@ def _register_extensions() -> None:
 
 _register_extensions()
 
-# Registry-size floor: 164 as of round 10 (155 + corpus_diff ×2 +
-# quality_calibration ×1 + source_stats ×3 + batching ×3). If a
+# Registry-size floor: 166 as of round 10 (155 + corpus_diff ×2 +
+# quality_calibration ×1 + source_stats ×3 + batching ×3 +
+# histograms ×2). If a
 # refactor ever drops a whole family, fail at import time rather than
 # letting the driver verify a shrunken registry.
-_REGISTRY_FLOOR = 164
+_REGISTRY_FLOOR = 166
 if len(QUERIES) < _REGISTRY_FLOOR:  # pragma: no cover - tripwire
     raise RuntimeError(
         f"query registry shrank: {len(QUERIES)} < {_REGISTRY_FLOOR} — "
