@@ -84,17 +84,23 @@ HIST_BY_SOURCE_SQL = f"""
 """
 
 
+def _merged_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaf histograms merged to per-source, UNORDERED — the quantile
+    query builds windows on top, and an orderBy here would inject a
+    sort the window stage immediately re-arranges."""
+    return (
+        _leaf_hist(spark, sf_dir)
+        .groupBy("source", "bin_cap")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+
+
 def q_hist_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source doc-length histogram produced by MERGING the
     (source, lang) leaf histograms — the two-level plan is the point:
     the second agg is exactly the re-aggregation a shard rollup runs,
     and the oracle hashes its result."""
-    leaf = _leaf_hist(spark, sf_dir)
-    return (
-        leaf.groupBy("source", "bin_cap")
-        .agg(F.sum("n_docs").alias("n_docs"))
-        .orderBy("source", "bin_cap")
-    )
+    return _merged_hist(spark, sf_dir).orderBy("source", "bin_cap")
 
 
 HIST_QUANTILES_SQL = f"""
@@ -135,7 +141,7 @@ def q_hist_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     count reaches k. The windows run over the ~40-bin merged summary,
     so this costs the same at any corpus size once the histogram
     exists."""
-    merged = q_hist_doclen_by_source(spark, sf_dir)
+    merged = _merged_hist(spark, sf_dir)
     wc = (
         Window.partitionBy("source")
         .orderBy("bin_cap")
