@@ -23,14 +23,17 @@ brief asks for):
   corpus vocab either needs its own tokenizer budget or gets
   down-mixed.
 
-Cross-engine exactness: everything is int64. The next-power-of-two is
-computed WITHOUT transcendentals (no log2 — libm differs across
-engines): for n > 16, next_pow2(n) = 1 << length(bin(n - 1)), binary
-string length being exact and identical in Spark and DuckDB. Waste
-shares are integer ppm (x * 1_000_000 div total). Token counts reuse
-the whitespace-split spelling of the lang-weights query
-(source_stats.py) so every token-economics number in the registry
-agrees on the grain.
+Cross-engine exactness: token/chunk totals are int64 (safe past
+9·10¹⁸ — thousands of PB of text); the ppm shares multiply those
+totals by 10⁶, which a bare int64 would wrap at a few tens of TB, so
+they are computed in int128-class arithmetic via the shared
+``intmath.exact_ppm_*`` spelling (Spark DECIMAL(38,0) ``div`` /
+DuckDB HUGEINT ``//`` — identical floors, r10-verified). The
+next-power-of-two is the shared ``intmath.next_pow2_*`` bit-math
+fragment (no log2 — libm transcendentals differ across engines).
+Token counts reuse the whitespace-split spelling of the lang-weights
+query (source_stats.py) so every token-economics number in the
+registry agrees on the grain.
 
 Scale shapes:
 - buckets: one token-count projection at the scan, one map-side
@@ -56,11 +59,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
+from .intmath import (
+    PPM as _PPM,
+    exact_ppm_spark,
+    exact_ppm_sql,
+    next_pow2_spark,
+    next_pow2_sql,
+)
 from .textstats import _TOKEN_SPLIT
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
-
-_PPM = 1_000_000
 _MIN_BUCKET = 16
 _CTX_SIZES = (128, 256, 512)
 _VOCAB_K = 64
@@ -89,20 +97,20 @@ SEQ_BUCKET_SQL = f"""
   b AS (
     SELECT n,
            CASE WHEN n <= {_MIN_BUCKET} THEN CAST({_MIN_BUCKET} AS BIGINT)
-                ELSE CAST(1 AS BIGINT) << length(bin(n - 1))
+                ELSE {next_pow2_sql('n')}
            END AS bucket_cap
     FROM t
   ),
   g AS (
     SELECT bucket_cap,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n) AS BIGINT) AS total_tokens
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS BIGINT) * bucket_cap AS padded_tokens
     FROM b GROUP BY bucket_cap
   )
-  SELECT bucket_cap, n_docs, total_tokens,
-         n_docs * bucket_cap AS padded_tokens,
-         (n_docs * bucket_cap - total_tokens) * {_PPM}
-           // (n_docs * bucket_cap) AS waste_ppm
+  SELECT bucket_cap, n_docs, total_tokens, padded_tokens,
+         {exact_ppm_sql('padded_tokens - total_tokens', 'padded_tokens')}
+           AS waste_ppm
   FROM g
   ORDER BY bucket_cap
 """
@@ -117,11 +125,7 @@ def q_seq_bucket_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(_n_tokens_col().alias("n"))
     cap = F.when(
         F.col("n") <= _MIN_BUCKET, F.lit(_MIN_BUCKET).cast("long")
-    ).otherwise(
-        # F.shiftleft only takes a literal bit count; the column-typed
-        # shift has to go through expr
-        F.expr("shiftleft(CAST(1 AS BIGINT), length(bin(n - 1)))")
-    )
+    ).otherwise(F.expr(next_pow2_spark("n")))
     g = (
         t.select(F.col("n"), cap.alias("bucket_cap"))
         .groupBy("bucket_cap")
@@ -135,9 +139,12 @@ def q_seq_bucket_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "total_tokens",
         (F.col("n_docs") * F.col("bucket_cap")).alias("padded_tokens"),
+    ).select(
+        "*",
         F.expr(
-            f"(n_docs * bucket_cap - total_tokens) * {_PPM} "
-            f"div (n_docs * bucket_cap)"
+            exact_ppm_spark(
+                "padded_tokens - total_tokens", "padded_tokens"
+            )
         ).alias("waste_ppm"),
     ).orderBy("bucket_cap")
 
@@ -156,14 +163,17 @@ PACKING_CURVE_SQL = f"""
       SELECT CAST(UNNEST({list(_CTX_SIZES)}) AS BIGINT) AS ctx
     ) c
   )
-  SELECT ctx,
-         CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(chunks) AS BIGINT) AS n_chunks,
-         CAST(SUM(chunks) AS BIGINT) * ctx AS padded_tokens,
-         (CAST(SUM(chunks) AS BIGINT) * ctx - CAST(SUM(n) AS BIGINT))
-           * {_PPM} // (CAST(SUM(chunks) AS BIGINT) * ctx) AS waste_ppm
-  FROM x
-  GROUP BY ctx
+  SELECT ctx, n_docs, n_chunks, padded_tokens,
+         {exact_ppm_sql('padded_tokens - total_tokens', 'padded_tokens')}
+           AS waste_ppm
+  FROM (
+    SELECT ctx,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(chunks) AS BIGINT) AS n_chunks,
+           CAST(SUM(chunks) AS BIGINT) * ctx AS padded_tokens,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM x GROUP BY ctx
+  )
   ORDER BY ctx
 """
 
@@ -193,8 +203,14 @@ def q_packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "n_chunks",
         (F.col("n_chunks") * F.col("ctx")).alias("padded_tokens"),
+        "_tok",
+    ).select(
+        "ctx",
+        "n_docs",
+        "n_chunks",
+        "padded_tokens",
         F.expr(
-            f"(n_chunks * ctx - _tok) * {_PPM} div (n_chunks * ctx)"
+            exact_ppm_spark("padded_tokens - _tok", "padded_tokens")
         ).alias("waste_ppm"),
     ).orderBy("ctx")
 
@@ -215,15 +231,17 @@ OOV_RATE_SQL = f"""
   vocab AS (
     SELECT token FROM counts ORDER BY cnt DESC, token LIMIT {_VOCAB_K}
   )
-  SELECT t.source,
-         CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_oov,
-         CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-           * {_PPM} // COUNT(*) AS oov_ppm
-  FROM toks t LEFT JOIN vocab v USING (token)
-  GROUP BY t.source
-  ORDER BY t.source
+  SELECT source, n_tokens, n_oov,
+         {exact_ppm_sql('n_oov', 'n_tokens')} AS oov_ppm
+  FROM (
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov
+    FROM toks t LEFT JOIN vocab v USING (token)
+    GROUP BY t.source
+  )
+  ORDER BY source
 """
 
 
@@ -259,7 +277,7 @@ def q_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_tokens",
             "n_oov",
-            F.expr(f"n_oov * {_PPM} div n_tokens").alias("oov_ppm"),
+            F.expr(exact_ppm_spark("n_oov", "n_tokens")).alias("oov_ppm"),
         )
         .orderBy("source")
     )

@@ -14,15 +14,21 @@ one language), and length shape (histogram-derived p95). Nothing like
 it exists in the reference (its surface is the sales ETL); this is the
 capstone of the LLM-curation observability families.
 
-Cross-engine exactness: everything is int64. Gini impurity avoids the
-entropy logarithm (transcendental — libm differs across engines)
-while measuring the same concentration signal:
+Cross-engine exactness: counts and token totals are int64. Gini
+impurity avoids the entropy logarithm (transcendental — libm differs
+across engines) while measuring the same concentration signal:
 ``gini_ppm = (total² − Σ_lang cnt²) · 10⁶ div total²`` — 0 for a
 single-language source, approaching 10⁶·(1−1/k) for a uniform k-way
-mix. The p95 length cap reuses the mergeable-histogram family's
-ceil-rank bit-math spelling (histograms.py). Sums of squared counts
-stay exact past 3·10⁹ docs per source in int64; beyond that the
-DECIMAL-accumulate form applies (same note as the k-means profile).
+mix. Every ppm share (gini, dup rate) is computed in int128-class
+arithmetic via the shared ``intmath.exact_ppm_*`` spelling — a bare
+int64 ``tot² · 10⁶`` would wrap silently in Spark (and raise in
+DuckDB) once a source passes ~3·10⁶ docs (r10 review). The per-lang
+``Σ cnt²`` input itself stays exact in int64 past 3·10⁹ docs per
+source; the DECIMAL-accumulate form applies beyond (same note as the
+k-means profile). The p95 length cap reuses the mergeable-histogram
+family's ceil-rank kernel (histograms.ceil_rank_cap_agg) and bin
+spelling, and token counts reuse batching's — the card can never
+de-sync from the families it summarizes.
 
 Scale shapes: one projection computes fingerprint/tokens/length at the
 scan; the only corpus-sized shuffles are the fp-keyed dup-group agg
@@ -40,20 +46,31 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
-from .histograms import _BIN_CAP_SPARK, _BIN_CAP_SQL
-from .textstats import _TOKEN_SPLIT, fingerprint_col
+from .batching import _N_TOKENS_SQL, _n_tokens_col
+from .histograms import _BIN_CAP_SPARK, _BIN_CAP_SQL, ceil_rank_cap_agg
+from .intmath import PPM as _PPM, exact_ppm_spark, exact_ppm_sql
+from .textstats import fingerprint_col
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
-_PPM = 1_000_000
+#: Gini ppm in int128-class arithmetic (tot^2 * 1e6 wraps a bare int64
+#: once a source passes ~3e6 docs; the shared spelling is exact to 38
+#: digits). s2 = sum of squared per-lang counts stays exact in int64
+#: past 3e9 docs per source; the DECIMAL-accumulate form applies beyond.
+_GINI_PPM_SQL = exact_ppm_sql(
+    "CAST(tot AS HUGEINT) * tot - s2", "CAST(tot AS HUGEINT) * tot"
+)
+_GINI_PPM_SPARK = exact_ppm_spark(
+    "CAST(tot AS DECIMAL(38,0)) * tot - s2",
+    "CAST(tot AS DECIMAL(38,0)) * tot",
+)
 
 #: shared scan-side projection (Spark) and its DuckDB twin: one pass
 #: computes every per-doc input the card needs
-_BASE_SQL = r"""
+_BASE_SQL = rf"""
     SELECT source, lang,
            CAST(n_chars AS BIGINT) AS n,
-           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-             AS tok,
+           CAST({_N_TOKENS_SQL} AS BIGINT) AS tok,
            md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
     FROM documents
 """
@@ -65,9 +82,7 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         F.col("n_chars").cast("long").alias("n"),
-        F.size(F.split(F.trim(F.col("text")), _TOKEN_SPLIT))
-        .cast("long")
-        .alias("tok"),
+        _n_tokens_col().alias("tok"),
         fingerprint_col().alias("fp"),
     )
 
@@ -113,9 +128,8 @@ DATASET_CARD_SQL = f"""
     FROM cum GROUP BY source
   )
   SELECT v.source, v.n_docs, v.total_tokens,
-         v.n_dup * {_PPM} // v.n_docs AS dup_ppm,
-         (gi.tot * gi.tot - gi.s2) * {_PPM} // (gi.tot * gi.tot)
-           AS lang_gini_ppm,
+         {exact_ppm_sql('v.n_dup', 'v.n_docs')} AS dup_ppm,
+         {_GINI_PPM_SQL} AS lang_gini_ppm,
          p.p95_len_cap
   FROM vol v JOIN gini gi USING (source) JOIN p95 p USING (source)
   ORDER BY v.source
@@ -158,15 +172,10 @@ def q_dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "bin_cap",
         F.sum("n_docs").over(wc).alias("cum_docs"),
-        F.sum("n_docs").over(wt).alias("total"),
+        F.sum("n_docs").over(wt).alias("total_docs"),
     )
     p95 = cum.groupBy("source").agg(
-        F.min(
-            F.when(
-                F.col("cum_docs") >= F.expr("(95 * total + 99) div 100"),
-                F.col("bin_cap"),
-            )
-        ).alias("p95_len_cap")
+        ceil_rank_cap_agg(95).alias("p95_len_cap")
     )
     return (
         vol.join(gini, "source")
@@ -175,10 +184,8 @@ def q_dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "total_tokens",
-            F.expr(f"n_dup * {_PPM} div n_docs").alias("dup_ppm"),
-            F.expr(
-                f"(tot * tot - s2) * {_PPM} div (tot * tot)"
-            ).alias("lang_gini_ppm"),
+            F.expr(exact_ppm_spark("n_dup", "n_docs")).alias("dup_ppm"),
+            F.expr(_GINI_PPM_SPARK).alias("lang_gini_ppm"),
             "p95_len_cap",
         )
         .orderBy("source")
@@ -219,9 +226,8 @@ DATASET_CARD_GLOBAL_SQL = f"""
     FROM cum
   )
   SELECT v.n_sources, v.n_docs, v.total_tokens,
-         v.n_dup * {_PPM} // v.n_docs AS dup_ppm,
-         (gi.tot * gi.tot - gi.s2) * {_PPM} // (gi.tot * gi.tot)
-           AS lang_gini_ppm,
+         {exact_ppm_sql('v.n_dup', 'v.n_docs')} AS dup_ppm,
+         {_GINI_PPM_SQL} AS lang_gini_ppm,
          q.p50_len_cap, q.p95_len_cap
   FROM vol v CROSS JOIN gini gi CROSS JOIN q
 """
@@ -258,21 +264,12 @@ def q_dataset_card_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = hist.select(
         "bin_cap",
         F.sum("n_docs").over(wc).alias("cum_docs"),
-        F.sum("n_docs").over(wt).alias("total"),
+        F.sum("n_docs").over(wt).alias("total_docs"),
     )
+    # ceil(t/2) == ceil(50t/100): p50 shares the ceil-rank kernel
     q = cum.agg(
-        F.min(
-            F.when(
-                F.col("cum_docs") >= F.expr("(total + 1) div 2"),
-                F.col("bin_cap"),
-            )
-        ).alias("p50_len_cap"),
-        F.min(
-            F.when(
-                F.col("cum_docs") >= F.expr("(95 * total + 99) div 100"),
-                F.col("bin_cap"),
-            )
-        ).alias("p95_len_cap"),
+        ceil_rank_cap_agg(50).alias("p50_len_cap"),
+        ceil_rank_cap_agg(95).alias("p95_len_cap"),
     )
     return (
         vol.crossJoin(F.broadcast(gini))  # broadcast-ok: single-row lang-Gini frame
@@ -281,10 +278,8 @@ def q_dataset_card_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sources",
             "n_docs",
             "total_tokens",
-            F.expr(f"n_dup * {_PPM} div n_docs").alias("dup_ppm"),
-            F.expr(
-                f"(tot * tot - s2) * {_PPM} div (tot * tot)"
-            ).alias("lang_gini_ppm"),
+            F.expr(exact_ppm_spark("n_dup", "n_docs")).alias("dup_ppm"),
+            F.expr(_GINI_PPM_SPARK).alias("lang_gini_ppm"),
             "p50_len_cap",
             "p95_len_cap",
         )

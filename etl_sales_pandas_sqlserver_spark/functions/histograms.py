@@ -40,20 +40,36 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
+from .intmath import next_pow2_spark, next_pow2_sql
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 #: log2 bin cap: smallest power of two >= n (n <= 1 collapses to 1).
-#: Identical bit-math spelling on both engines; docs with n_chars in
-#: (cap/2, cap] share a bin, so a cap-quantile is within 2x of truth.
+#: The bit-math core is the shared intmath fragment; docs with
+#: n_chars in (cap/2, cap] share a bin, so a cap-quantile is within
+#: 2x of truth.
 _BIN_CAP_SQL = (
     "CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) "
-    "ELSE CAST(1 AS BIGINT) << length(bin(n - 1)) END"
+    f"ELSE {next_pow2_sql('n')} END"
 )
 _BIN_CAP_SPARK = (
     "CASE WHEN n <= 1 THEN CAST(1 AS BIGINT) "
-    "ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n - 1))) END"
+    f"ELSE {next_pow2_spark('n')} END"
 )
+
+
+def ceil_rank_cap_agg(pct: int, cum_col: str = "cum_docs",
+                      total_col: str = "total_docs",
+                      cap_col: str = "bin_cap"):
+    """Aggregate expression: smallest cap whose cumulative count
+    reaches the ceil-rank of the pct-quantile — ``MIN(cap WHERE cum >=
+    ceil(pct·total/100))`` with the ceiling in exact integer math.
+    Shared by this module and the dataset-card family so the rank
+    spelling can never de-sync between them."""
+    rank = f"({pct} * {total_col} + 99) div 100"
+    return F.min(
+        F.when(F.col(cum_col) >= F.expr(rank), F.col(cap_col))
+    )
 
 
 def _leaf_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,20 +170,13 @@ def q_hist_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_docs").over(wc).alias("cum_docs"),
         F.sum("n_docs").over(wt).alias("total_docs"),
     )
-    p50_hit = F.when(
-        F.col("cum_docs") >= F.expr("(total_docs + 1) div 2"),
-        F.col("bin_cap"),
-    )
-    p95_hit = F.when(
-        F.col("cum_docs") >= F.expr("(95 * total_docs + 99) div 100"),
-        F.col("bin_cap"),
-    )
+    # ceil(t/2) == ceil(50t/100), so p50 shares the ceil-rank kernel
     return (
         cum.groupBy("source")
         .agg(
             F.max("total_docs").alias("n_docs_total"),
-            F.min(p50_hit).alias("p50_cap"),
-            F.min(p95_hit).alias("p95_cap"),
+            ceil_rank_cap_agg(50).alias("p50_cap"),
+            ceil_rank_cap_agg(95).alias("p95_cap"),
         )
         .orderBy("source")
     )

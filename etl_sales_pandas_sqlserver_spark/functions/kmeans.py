@@ -201,14 +201,17 @@ def q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cluster_id")
 
 
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup: near-dup pairs WITHIN k-means clusters. The pair space
-    is bounded by the largest cluster; each cluster's Gram matrix is
-    one exact int64 matmul over the Arrow batch."""
+#: Arrow schema of the SemDeDup pair kernel's output
+SEMDEDUP_PAIR_SCHEMA = "a_id long, b_id long, cosine double"
+
+
+def semdedup_pair_kernel(threshold: float):
+    """Per-group near-dup pair kernel (one exact int64 Gram matmul
+    over the Arrow batch). Module-level so the x100 scale probe
+    (tools/kmeans_x100_probe.py) times the SAME code the registered
+    query ships, not a drifted copy (r10 review)."""
     import numpy as np
     import pandas as pd
-
-    a = _assignment(spark, sf_dir).select("vec_id", "cluster_id", "e")
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:  # no pair can exist; np.stack would also choke
@@ -230,7 +233,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # op order mirrors the oracle: dot / (sqrt(na2) * sqrt(nb2)),
         # every operand exact in double, every op correctly rounded
         cos[valid] = dots[valid] / (np.sqrt(na2[valid]) * np.sqrt(nb2[valid]))
-        mask = valid & (cos >= _SEM_THRESHOLD)
+        mask = valid & (cos >= threshold)
         return pd.DataFrame(
             {
                 "a_id": ids[iu[mask]],
@@ -239,8 +242,16 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    return pairs
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: near-dup pairs WITHIN k-means clusters. The pair space
+    is bounded by the largest cluster; each cluster's Gram matrix is
+    one exact int64 matmul over the Arrow batch."""
+    a = _assignment(spark, sf_dir).select("vec_id", "cluster_id", "e")
     out = a.groupBy("cluster_id").applyInPandas(
-        pairs, schema="a_id long, b_id long, cosine double"
+        semdedup_pair_kernel(_SEM_THRESHOLD), schema=SEMDEDUP_PAIR_SCHEMA
     )
     return out.orderBy("a_id", "b_id")
 

@@ -78,38 +78,6 @@ def ensure_data() -> None:
             fh.write(_fingerprint())
 
 
-def _sem_pairs(threshold: float):
-    """Within-group near-dup pairs (the q_semantic_dedup kernel,
-    inlined so the probe can regroup it without touching kmeans.py)."""
-    import numpy as np
-    import pandas as pd
-
-    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"a_id": [], "b_id": [], "cosine": []}
-            ).astype({"a_id": "int64", "b_id": "int64", "cosine": "float64"})
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        m = np.stack(pdf["e"].to_numpy())[order].astype(np.int64)
-        g = m @ m.T
-        n2 = np.diagonal(g)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        dots = g[iu, ju]
-        na2 = n2[iu].astype(np.float64)
-        nb2 = n2[ju].astype(np.float64)
-        valid = (na2 > 0) & (nb2 > 0)
-        cos = np.zeros(len(dots), dtype=np.float64)
-        cos[valid] = dots[valid] / (np.sqrt(na2[valid]) * np.sqrt(nb2[valid]))
-        mask = valid & (cos >= threshold)
-        return pd.DataFrame(
-            {"a_id": ids[iu[mask]], "b_id": ids[ju[mask]], "cosine": cos[mask]}
-        )
-
-    return pairs
-
-
 def main() -> int:
     ensure_data()
     from pyspark.sql import functions as F
@@ -148,8 +116,9 @@ def main() -> int:
         "superlinear": bool(t100 / (100 * t1) > 1.5),
     }
 
-    pairs = _sem_pairs(km._SEM_THRESHOLD)
-    schema = "a_id long, b_id long, cosine double"
+    # the REAL shipped kernel (not a copy): timing drift-proof
+    pairs = km.semdedup_pair_kernel(km._SEM_THRESHOLD)
+    schema = km.SEMDEDUP_PAIR_SCHEMA
 
     def sem(sf_dir: str, prop_k: bool) -> tuple[float, int]:
         a = km._final_assignment_build(spark, sf_dir).select(
