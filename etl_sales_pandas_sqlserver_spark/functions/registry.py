@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from ..streaming.queries import QUERIES_EXPORT as STREAMING_QUERIES
 from .batching import QUERIES_EXPORT as BATCHING_QUERIES
+from .budget import QUERIES_EXPORT as BUDGET_QUERIES
 from .dedup import QUERIES_EXPORT as DEDUP_QUERIES
 from .histograms import QUERIES_EXPORT as HISTOGRAM_QUERIES
 from .multimodal import QUERIES_EXPORT as MULTIMODAL_QUERIES
@@ -17,10 +18,12 @@ from .paragraphs import QUERIES_EXPORT as PARAGRAPH_QUERIES
 from .checksum import QUERIES_EXPORT as CHECKSUM_QUERIES
 from .cluster_ops import QUERIES_EXPORT as CLUSTER_OPS_QUERIES
 from .corpus_diff import QUERIES_EXPORT as CORPUS_DIFF_QUERIES
+from .dataset_cards import QUERIES_EXPORT as DATASET_CARD_QUERIES
 from .quality_calibration import QUERIES_EXPORT as QUALITY_CAL_QUERIES
 from .kmeans import QUERIES_EXPORT as KMEANS_QUERIES
 from .sampling import QUERIES_EXPORT as SAMPLING_QUERIES
 from .search import SEARCH_QUERIES
+from .sharding import QUERIES_EXPORT as SHARDING_QUERIES
 from .similarity import QUERIES_EXPORT as SIMILARITY_QUERIES
 from .sketches import SKETCH_QUERIES
 from .source_stats import QUERIES_EXPORT as SOURCE_STATS_QUERIES
@@ -38,6 +41,7 @@ FUNCTION_QUERIES = {
     **CHECKSUM_QUERIES,
     **CLUSTER_OPS_QUERIES,
     **CORPUS_DIFF_QUERIES,
+    **DATASET_CARD_QUERIES,
     **QUALITY_CAL_QUERIES,
     **KMEANS_QUERIES,
     **STREAMING_QUERIES,
@@ -45,5 +49,7 @@ FUNCTION_QUERIES = {
     **SEARCH_QUERIES,
     **SOURCE_STATS_QUERIES,
     **BATCHING_QUERIES,
+    **BUDGET_QUERIES,
     **HISTOGRAM_QUERIES,
+    **SHARDING_QUERIES,
 }

@@ -708,95 +708,107 @@ ANN_MEMBERSHIP_SQL = f"""
 """
 
 
-def _membership_contract(fn: SparkQuery) -> SparkQuery:
-    def contract(spark: SparkSession, sf_dir: str) -> DataFrame:
-        import pandas as pd
+def _membership_contract(
+    fn: SparkQuery, spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Run ``fn`` and reduce its top-k frame to the per-query membership
+    contract (k_full/distinct/no_self/ids_valid/rank/cosine-exact
+    booleans). Called through NAMED module-level wrappers below — the
+    rotation fingerprinter resolves plain defs only, and the old
+    closure-factory pattern left the three contract queries permanently
+    unresolvable (no manifest entry, 3 window slots burned every
+    round, r11 fix)."""
+    import pandas as pd
 
-        res = fn(spark, sf_dir)
-        vecs = _vectors(spark, sf_dir)
-        q_ids, q_mat = _collect_queries(vecs)
-        q_nrm = _seq_norms(q_mat)
-        bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
+    res = fn(spark, sf_dir)
+    vecs = _vectors(spark, sf_dir)
+    q_ids, q_mat = _collect_queries(vecs)
+    q_nrm = _seq_norms(q_mat)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat, q_nrm))
 
-        # ids_valid + cosine recompute ride one join to the corpus
-        # vectors; a missing neighbor_id survives as v IS NULL.
-        joined = res.join(
-            vecs.select(
-                F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+    # ids_valid + cosine recompute ride one join to the corpus
+    # vectors; a missing neighbor_id survives as v IS NULL.
+    joined = res.join(
+        vecs.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+        ),
+        "neighbor_id",
+        "left",
+    ).select("query_id", "neighbor_id", "cosine", "rank", "nv")
+
+    def verify(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        qids, qmat, qnrm = bc.value
+        pos = {int(q): i for i, q in enumerate(qids)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ok = np.zeros(len(pdf), dtype=bool)
+            valid = pdf["nv"].notna().to_numpy()
+            if valid.any():
+                sub = pdf[valid]
+                m = np.stack(sub["nv"].to_numpy()).astype(np.float64)
+                nrm = _seq_norms(m)
+                cos = _seq_matmul(m, qmat) / (qnrm[None, :] * nrm[:, None])
+                qcol = np.array(
+                    [pos[int(q)] for q in sub["query_id"]], dtype=np.int64
+                )
+                recomputed = cos[np.arange(len(sub)), qcol]
+                ok[valid] = recomputed == sub["cosine"].to_numpy()
+            out = pdf[["query_id", "neighbor_id", "rank", "cosine"]].copy()
+            out["id_valid"] = valid
+            out["cos_ok"] = ok
+            yield out
+
+    checked = joined.mapInPandas(
+        verify,
+        schema=(
+            "query_id long, neighbor_id long, rank int, cosine double,"
+            " id_valid boolean, cos_ok boolean"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    flagged = checked.withColumn(
+        "order_ok",
+        F.coalesce(
+            F.lag("cosine").over(w) >= F.col("cosine"), F.lit(True)
+        ),
+    )
+    return (
+        flagged.groupBy("query_id")
+        .agg(
+            (F.count(F.lit(1)) == _TOP_K).alias("k_full_ok"),
+            (
+                F.count_distinct(F.col("neighbor_id"))
+                == F.count(F.lit(1))
+            ).alias("distinct_ok"),
+            F.bool_and(F.col("neighbor_id") != F.col("query_id")).alias(
+                "no_self_ok"
             ),
-            "neighbor_id",
-            "left",
-        ).select("query_id", "neighbor_id", "cosine", "rank", "nv")
-
-        def verify(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-            qids, qmat, qnrm = bc.value
-            pos = {int(q): i for i, q in enumerate(qids)}
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                ok = np.zeros(len(pdf), dtype=bool)
-                valid = pdf["nv"].notna().to_numpy()
-                if valid.any():
-                    sub = pdf[valid]
-                    m = np.stack(sub["nv"].to_numpy()).astype(np.float64)
-                    nrm = _seq_norms(m)
-                    cos = _seq_matmul(m, qmat) / (qnrm[None, :] * nrm[:, None])
-                    qcol = np.array(
-                        [pos[int(q)] for q in sub["query_id"]], dtype=np.int64
-                    )
-                    recomputed = cos[np.arange(len(sub)), qcol]
-                    ok[valid] = recomputed == sub["cosine"].to_numpy()
-                out = pdf[["query_id", "neighbor_id", "rank", "cosine"]].copy()
-                out["id_valid"] = valid
-                out["cos_ok"] = ok
-                yield out
-
-        checked = joined.mapInPandas(
-            verify,
-            schema=(
-                "query_id long, neighbor_id long, rank int, cosine double,"
-                " id_valid boolean, cos_ok boolean"
-            ),
-        )
-        w = Window.partitionBy("query_id").orderBy("rank")
-        flagged = checked.withColumn(
-            "order_ok",
-            F.coalesce(
-                F.lag("cosine").over(w) >= F.col("cosine"), F.lit(True)
-            ),
-        )
-        return (
-            flagged.groupBy("query_id")
-            .agg(
-                (F.count(F.lit(1)) == _TOP_K).alias("k_full_ok"),
-                (
-                    F.count_distinct(F.col("neighbor_id"))
+            F.bool_and("id_valid").alias("ids_valid_ok"),
+            (
+                (F.min("rank") == 1)
+                & (F.max("rank") == F.count(F.lit(1)))
+                & (
+                    F.count_distinct(F.col("rank"))
                     == F.count(F.lit(1))
-                ).alias("distinct_ok"),
-                F.bool_and(F.col("neighbor_id") != F.col("query_id")).alias(
-                    "no_self_ok"
-                ),
-                F.bool_and("id_valid").alias("ids_valid_ok"),
-                (
-                    (F.min("rank") == 1)
-                    & (F.max("rank") == F.count(F.lit(1)))
-                    & (
-                        F.count_distinct(F.col("rank"))
-                        == F.count(F.lit(1))
-                    )
-                    & F.bool_and("order_ok")
-                ).alias("rank_ok"),
-                F.bool_and("cos_ok").alias("cosine_exact_ok"),
-            )
-            .orderBy("query_id")
+                )
+                & F.bool_and("order_ok")
+            ).alias("rank_ok"),
+            F.bool_and("cos_ok").alias("cosine_exact_ok"),
         )
+        .orderBy("query_id")
+    )
 
-    return contract
+def q_topk_ann_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _membership_contract(q_topk_ann, spark, sf_dir)
 
 
-q_topk_ann_contract = _membership_contract(q_topk_ann)
-q_topk_ivf_contract = _membership_contract(q_topk_ivf)
-q_topk_ann_indexed_contract = _membership_contract(q_topk_ann_indexed)
+def q_topk_ivf_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _membership_contract(q_topk_ivf, spark, sf_dir)
+
+
+def q_topk_ann_indexed_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _membership_contract(q_topk_ann_indexed, spark, sf_dir)
 
 
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {

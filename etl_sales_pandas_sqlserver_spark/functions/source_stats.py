@@ -47,11 +47,11 @@ from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
 from .dedup import _doc_shingles
+from .intmath import exact_ppm_spark, exact_ppm_sql
 from .textstats import _TOKEN_SPLIT, fingerprint_col
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
-_PPM = 1_000_000
 
 # ---------------------------------------------------------------------------
 # 1. Cross-source contamination matrix.
@@ -125,8 +125,8 @@ DEDUP_RATE_SQL = r"""
          CAST(COUNT(*) AS BIGINT) AS n_docs,
          CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
            AS n_dup_docs,
-         CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
-           * 1000000 // COUNT(*) AS dup_ppm
+         CAST(CAST(SUM(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS HUGEINT)
+           * 1000000 // CAST(COUNT(*) AS HUGEINT) AS BIGINT) AS dup_ppm
   FROM d JOIN g USING (fp)
   GROUP BY d.source
   ORDER BY d.source
@@ -153,7 +153,7 @@ def q_source_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_dup_docs",
-            F.expr(f"n_dup_docs * {_PPM} div n_docs").alias("dup_ppm"),
+            F.expr(exact_ppm_spark("n_dup_docs", "n_docs")).alias("dup_ppm"),
         )
         .orderBy("source")
     )
@@ -178,8 +178,8 @@ LANG_WEIGHTS_SQL = f"""
     FROM t
   )
   SELECT lang, total_tokens, sqrt_weight,
-         sqrt_weight * {_PPM}
-           // CAST(SUM(sqrt_weight) OVER () AS BIGINT) AS share_ppm
+         CAST(CAST(sqrt_weight AS HUGEINT) * 1000000
+           // CAST(SUM(sqrt_weight) OVER () AS HUGEINT) AS BIGINT) AS share_ppm
   FROM w
   ORDER BY lang
 """
@@ -220,7 +220,7 @@ def q_lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             # integer division end to end (Spark `div` == DuckDB `//`
             # on positive int64) — a double-divide-then-truncate can
             # round across an integer boundary
-            F.expr(f"sqrt_weight * {_PPM} div _tot").alias("share_ppm"),
+            F.expr(exact_ppm_spark("sqrt_weight", "_tot")).alias("share_ppm"),
         )
         .orderBy("lang")
     )

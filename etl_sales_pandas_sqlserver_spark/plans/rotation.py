@@ -362,9 +362,20 @@ def ordered_names(queries: dict) -> list[str] | None:
         fresh = fp is not None and entry.get("fingerprint") == fp
         head_fp = entry.get("head_fingerprint")
         head_own = entry.get("head_own_fingerprint")
+        green_own = entry.get("own_fingerprint")
         own_changed_now = (
             own_fp is None or head_own is None or head_own != own_fp
         )
+        # r11: own code changed since the LAST GREEN row — even when
+        # the edit landed in an earlier round — is the same evidence
+        # gap as changed-this-round and fronts with it. (Six r8-green
+        # queries carried r9 own-code edits invisibly because only
+        # the vs-HEAD compare was tier-1.) Manifests written before
+        # r11 lack the field; None keeps the old behavior.
+        own_stale_since_green = (
+            green_own is not None and green_own != own_fp
+        )
+        own_changed_now = own_changed_now or own_stale_since_green
         changed_now = fp is None or head_fp is None or head_fp != fp
         last_green = entry.get("last_green_round") or 0
         keys.append(

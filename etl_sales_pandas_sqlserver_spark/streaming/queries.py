@@ -90,6 +90,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATE_STORE_PARTITIONS = 8
 
 
+# SERIAL-EXECUTION ASSUMPTION (r10 advice): the pin below mutates the
+# session-global spark.sql.shuffle.partitions; the driver/bench sweeps
+# run queries strictly serially, so nothing else observes the override.
+# If streams ever run concurrently with batch work on one session,
+# scope the override via spark.newSession() per run instead (runtime
+# conf is session-local; a new session shares the SparkContext and
+# cached data but isolates conf).
 def _run_to_table(spark: SparkSession, result: DataFrame, mode: str) -> DataFrame:
     """Execute a finite stream into a memory sink and return the sink
     table. Shuffle partitions are pinned to ``_STATE_STORE_PARTITIONS``

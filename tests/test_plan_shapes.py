@@ -210,6 +210,9 @@ _SCALAR_CROSS_JOIN_OK = {
     "funnel_view_click_purchase",
     "similarity_ann_recall_contract",
     "text_docfreq_quality",
+    # round-11: the global dataset card assembles three single-row
+    # side frames (corpus volume, lang-Gini, histogram quantiles)
+    "dataset_card_global",
     "token_salience",
     "tpch_q11_important_stock",
     "tpch_q16_supplier_cnt",

@@ -113,16 +113,36 @@ def test_registry_window_has_no_fresh_before_stale(monkeypatch):
         fp = fper.query_fingerprint(fn.__module__, fn.__qualname__)
         return bool(e and fp and e.get("fingerprint") == fp)
 
+    def own_stale(name):
+        """OWN code changed since the last green row (r11 tripwire).
+
+        This is the high-risk evidence gap the window must always
+        drain first. Dep-only staleness (full fingerprint moved, own
+        closure identical) deliberately keeps vintage order — the
+        round-7 re-rank: a busy round editing one shared module must
+        not let its whole dep cohort starve the oldest-evidence drain.
+        """
+        fn = QUERIES[name][0]
+        e = manifest.get(name)
+        ofp = fper.query_own_fingerprint(fn.__module__, fn.__qualname__)
+        if e is None or ofp is None:
+            return True  # never green / unresolvable: must front
+        green_own = e.get("own_fingerprint")
+        head_own = e.get("head_own_fingerprint")
+        return (green_own is not None and green_own != ofp) or (
+            head_own is not None and head_own != ofp
+        )
+
     # no-oracle (rows-only) queries are exempt: a window slot can only
     # record ``err: no_oracle`` for them, so they sort behind every
     # oracle-checkable query regardless of staleness (round-5 verdict);
     # their accuracy is covered by hash-checked contract queries.
     stale_outside = [
-        n for n in names[50:] if QUERIES[n][1] is not None and not is_fresh(n)
+        n for n in names[50:] if QUERIES[n][1] is not None and own_stale(n)
     ]
     fresh_inside = [n for n in names[:50] if is_fresh(n)]
     assert not (stale_outside and fresh_inside), (
-        f"fresh inside window {fresh_inside[:5]} while stale outside "
+        f"fresh inside window {fresh_inside[:5]} while own-stale outside "
         f"{stale_outside[:5]}"
     )
 
@@ -211,3 +231,67 @@ def test_paired_sql_constant_flips_own_fingerprint_only_for_owner():
     own_b1, full_b1 = fps(changed, "q_beta")
     assert own_b0 == own_b1  # non-owner own fp untouched
     assert full_b0 != full_b1  # but full fp conservatively flips
+
+
+def test_manifest_is_fresh_against_newest_correctness():
+    """Freshness tripwire (r10 verdict #2): the committed manifest must
+    have been regenerated AFTER the newest CORRECTNESS_r{N}.json landed.
+    A stale manifest silently mis-orders the driver window (it happened
+    in r8 and again in r10: 152 entries on disk vs 166 registered).
+
+    Two signals, both cheap:
+      1. every green row of the newest round is present in the manifest
+         with ``last_green_round == newest`` (a pre-round manifest would
+         carry an older round for those names), and
+      2. the manifest is not missing queries that have ANY green
+         history (union of all rounds).
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    from etl_sales_pandas_sqlserver_spark.plans.rotation import load_manifest
+
+    manifest = load_manifest()
+    if not manifest:
+        import pytest
+
+        pytest.skip("no rotation manifest in this tree")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = {
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1)): p
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    }
+    assert files, "no correctness files but a manifest exists"
+    newest = max(files)
+
+    def green(path):
+        rows = json.load(open(path))
+        return {
+            name
+            for name, r in rows.items()
+            if not r.get("err")
+            and r.get("rows_match")
+            and r.get("schema_match", True)
+            and r.get("hash_match", True)
+        }
+
+    newest_green = green(files[newest])
+    assert newest_green, f"round {newest} has no green rows?"
+    stale = {
+        n
+        for n in newest_green
+        if n not in manifest or manifest[n]["last_green_round"] != newest
+    }
+    assert not stale, (
+        f"manifest predates CORRECTNESS_r{newest}.json — run "
+        f"tools/update_rotation_manifest.py (stale: {sorted(stale)[:5]}…)"
+    )
+
+    union_green = set().union(*(green(p) for p in files.values()))
+    missing = union_green - set(manifest)
+    assert not missing, (
+        f"manifest missing {len(missing)} ever-green queries: "
+        f"{sorted(missing)[:5]}…"
+    )

@@ -21,10 +21,14 @@ replica set is derived from it once (content-cached under
   distance<=1 fuzzy matches stay within-replica (10x names => 10x
   matches).
 
-Each family runs at sf0.1 and at the 10x dir in ONE fresh process;
-``ratio`` is t_10x / (10 * t_sf01) -- ~<=1 means linear or better
-(fixed per-query overhead deflates it), >1.5 flags superlinear.
-Prints one JSON line for bench.py to merge into BENCH_DETAIL.json.
+Each family runs at sf0.1 and at the 10x dir in ONE fresh process,
+min-of-2 passes on BOTH legs (r11: the old one-cold-pass x10 leg let a
+single stall read as superlinear); ``ratio`` is t_10x / (10 * t_sf01)
+-- ~<=1 means linear or better (fixed per-query overhead deflates it),
+>1.5 flags superlinear. Emitted row counts per query at both scales are
+recorded alongside, so a flagged family shows whether the WORK (rows)
+or only the WALL blew up. Prints one JSON line for bench.py to merge
+into BENCH_DETAIL.json.
 """
 
 from __future__ import annotations
@@ -173,12 +177,22 @@ def main() -> int:
     # JVM/Arrow warmup outside any timed window
     q["dedup_exact"](spark, SRC).collect()
 
-    def run_family(names: list[str], sf_dir: str, passes: int = 2) -> float:
+    def run_family(
+        names: list[str], sf_dir: str, passes: int = 2
+    ) -> tuple[float, dict[str, int]]:
         # min over passes; the memoized pair feed is evicted before
         # each pass so the family cost always includes the feed build.
-        # x10 runs one pass (the 36s fuzzy leg would double the smoke's
-        # wall for a digit of precision the ratio doesn't need).
+        # r11 (r10 verdict #1): the x10 leg is ALSO min-of-2 now — the
+        # old one-cold-pass x10 over a warm min-of-2 denominator let a
+        # single GC/compaction stall read as "superlinear" (driver
+        # recorded jaccard_exact at 2.90x where controlled runs saw
+        # 1.17x). Emitted row counts are captured from the timed
+        # collect()s (free — the rows are already on the driver) so a
+        # flagged ratio can be attributed: rows ~10x + wall >15x =
+        # measurement noise / shuffle stall; rows >>10x = real
+        # candidate blow-up.
         best = float("inf")
+        rows: dict[str, int] = {}
         for _ in range(passes):
             spark.catalog.clearCache()
             from etl_sales_pandas_sqlserver_spark import cache
@@ -189,34 +203,42 @@ def main() -> int:
             cache.evict_session_memos(spark)
             t0 = time.perf_counter()
             for name in names:
-                q[name](spark, sf_dir).collect()
+                rows[name] = len(q[name](spark, sf_dir).collect())
             best = min(best, time.perf_counter() - t0)
-        return best
+        return best, rows
 
     result: dict[str, dict] = {}
     for fam, names in FAMILIES.items():
-        t1 = run_family(names, SRC)
-        t10 = run_family(names, OUT, passes=1)
+        t1, rows1 = run_family(names, SRC)
+        t10, rows10 = run_family(names, OUT)
         ratio = round(t10 / (REPLICAS * t1), 3) if t1 > 0 else None
         result[fam] = {
             "t_sf01": round(t1, 3),
             "t_x10": round(t10, 3),
             "ratio_vs_linear": ratio,
             "superlinear": bool(ratio and ratio > 1.5),
+            "rows_sf01": rows1,
+            "rows_x10": rows10,
+            "row_ratio": {
+                n: round(rows10[n] / rows1[n], 2) if rows1[n] else None
+                for n in names
+            },
         }
     # hot-key families: same 10x linear budget, but the 10x data is the
     # SKEWED replica (one ~1000x user), so staying <=1.5 proves the
     # skew paths (two-phase salted count, bounded Misra-Gries exchange,
     # time-chunked window) absorb the hot key, not just more rows.
     for fam, names in SKEW_FAMILIES.items():
-        t1 = run_family(names, SRC)
-        t10 = run_family(names, SKEW_OUT, passes=1)
+        t1, rows1 = run_family(names, SRC)
+        t10, rows10 = run_family(names, SKEW_OUT)
         ratio = round(t10 / (REPLICAS * t1), 3) if t1 > 0 else None
         result[fam] = {
             "t_sf01": round(t1, 3),
             "t_x10skew": round(t10, 3),
             "ratio_vs_linear": ratio,
             "superlinear": bool(ratio and ratio > 1.5),
+            "rows_sf01": rows1,
+            "rows_x10skew": rows10,
         }
     # A/B on the skewed replica: the plain per-key window pins the hot
     # user's 100k-row frame evaluation in ONE task; the chunked twin
@@ -226,8 +248,8 @@ def main() -> int:
     # threshold and runs the cold bulk plain. Recorded so the win --
     # and the single-task cost it removes -- is a measured number, not
     # a design claim.
-    t_plain = run_family(["window_distinct_types_1h"], SKEW_OUT, passes=1)
-    t_chunk = run_family(
+    t_plain, _ = run_family(["window_distinct_types_1h"], SKEW_OUT, passes=1)
+    t_chunk, _ = run_family(
         ["window_distinct_types_1h_chunked"], SKEW_OUT, passes=1
     )
 

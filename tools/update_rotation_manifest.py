@@ -125,7 +125,20 @@ def main() -> int:
             # code we can no longer identify, so record nothing -- the
             # runtime treats the query as never-verified and fronts it
             continue
-        manifest[name] = {"last_green_round": rnd, "fingerprint": fp}
+        manifest[name] = {
+            "last_green_round": rnd,
+            "fingerprint": fp,
+            # own (intra-module closure) fingerprint at the verified
+            # commit: lets the runtime front queries whose OWN code
+            # changed since their last green row even when the change
+            # landed in an EARLIER round (r11 fix — six r8-green
+            # traindata/dedup/cluster_ops queries had own-code edits
+            # from r9 that never re-verified because only
+            # changed-THIS-round was tier-1)
+            "own_fingerprint": readers[rnd].query_own_fingerprint(
+                fn.__module__, fn.__qualname__
+            ),
+        }
         if head_round is not None:
             # fingerprints at the LATEST verified commit: let the
             # runtime distinguish "own code changed this round"
