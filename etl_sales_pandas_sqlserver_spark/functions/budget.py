@@ -145,6 +145,75 @@ def q_token_budget_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_budget_sampled_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Materialize the water-fill as an actual per-document sampling
+    pass: every doc carries a deterministic 32-bit md5 gate in
+    [0, 10^6) (salted ``#budget`` so it decorrelates from the
+    split/mix families' gates), and a doc survives iff
+    ``gate < funded_ppm(source)``. The per-source rollup reports how
+    close hash-sampling lands to the allocation target — the
+    "expected vs achieved" audit row a pipeline logs after writing
+    the sampled corpus.
+
+    Scale: the doc-level work is one stateless projection + filter
+    (zero shuffles beyond the final |sources| rollup); the water-fill
+    share is a |sources|-row broadcast join."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    shares = _waterfill(_source_tokens(spark, sf_dir)).select(
+        "source",
+        "avail",
+        F.expr(exact_ppm_spark("alloc", "avail")).alias("target_ppm"),
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("#budget")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    sampled = (
+        docs.withColumn("gate", gate)
+        .join(F.broadcast(shares), "source")  # broadcast-ok: |sources|-row waterfill frame
+        .filter(F.col("gate") < F.col("target_ppm"))
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_sampled"),
+            F.sum("n_tok").alias("tokens_sampled"),
+            F.max("target_ppm").alias("target_ppm"),
+            F.max("avail").alias("avail"),
+        )
+        .select(
+            "source",
+            "n_docs_sampled",
+            "tokens_sampled",
+            "target_ppm",
+            F.expr(exact_ppm_spark("tokens_sampled", "avail")).alias(
+                "achieved_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 _WF_CTE = f"""
   WITH t AS (
     SELECT source, CAST(SUM({_N_TOKENS_SQL}) AS BIGINT) AS avail
@@ -199,7 +268,41 @@ WATERFILL_SUMMARY_SQL = f"""
   FROM alloc
 """
 
+BUDGET_SAMPLED_SQL = f"""
+  {_WF_CTE},
+  d AS (
+    SELECT doc_id, source,
+           CAST({_N_TOKENS_SQL} AS BIGINT) AS n_tok,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#budget'),
+                               1, 8) AS BIGINT) % 1000000 AS gate
+    FROM documents
+  ),
+  sh AS (
+    SELECT source, avail,
+           {exact_ppm_sql('alloc', 'avail')} AS target_ppm
+    FROM alloc
+  ),
+  s AS (
+    SELECT d.source, d.n_tok, sh.target_ppm, sh.avail
+    FROM d JOIN sh USING (source)
+    WHERE d.gate < sh.target_ppm
+  )
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_sampled,
+         CAST(SUM(n_tok) AS BIGINT) AS tokens_sampled,
+         MAX(target_ppm) AS target_ppm,
+         {exact_ppm_sql('CAST(SUM(n_tok) AS BIGINT)', 'MAX(avail)')}
+           AS achieved_ppm
+  FROM s
+  GROUP BY source
+  ORDER BY source
+"""
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, "str | None"]] = {
     "token_budget_waterfill": (q_token_budget_waterfill, WATERFILL_SQL),
     "token_budget_summary": (q_token_budget_summary, WATERFILL_SUMMARY_SQL),
+    "budget_sampled_by_source": (
+        q_budget_sampled_by_source,
+        BUDGET_SAMPLED_SQL,
+    ),
 }

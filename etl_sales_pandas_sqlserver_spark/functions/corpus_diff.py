@@ -23,11 +23,8 @@ on the join key, and the churn rollup is map-side combinable. At
 100 TB both snapshots would be bucketed by doc_id, making the join
 shuffle-free; nothing else changes.
 
-NOT yet registered: round 9's 50-slot verification window is exactly
-full (23 changed/new + 27 r5-vintage drains); wiring these two queries
-through functions/registry.py is a two-line round-10 change. The
-driver-style oracle parity is already covered by
-tests/test_corpus_diff.py with the same compare the driver uses.
+Registered since round 10 (functions/registry.py); driver-hash green.
+tests/test_corpus_diff.py runs the same compare the driver uses.
 """
 
 from __future__ import annotations
@@ -160,7 +157,7 @@ CORPUS_CHURN_SQL = f"""
   ORDER BY source
 """
 
-#: round-10 wiring: merge into functions/registry.py FUNCTION_QUERIES
+#: merged into functions/registry.py FUNCTION_QUERIES (round 10)
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, "str | None"]] = {
     "corpus_snapshot_diff": (q_corpus_snapshot_diff, CORPUS_DIFF_SQL),
     "corpus_churn_by_source": (q_corpus_churn_by_source, CORPUS_CHURN_SQL),

@@ -1,10 +1,9 @@
 """Dataset cards: the per-source (and corpus-global) summary artifact
 a curation pipeline publishes with every corpus release.
 
-STAGED FOR ROUND 11 — not yet imported by functions/registry.py (the
-round-10 verification window is exactly full); the driver-style parity
-tests in tests/test_dataset_cards.py run the SAME compare the driver
-will, so registration is a two-line change with pre-verified behavior.
+Registered since round 11 (functions/registry.py); the driver-style
+parity tests in tests/test_dataset_cards.py run the SAME compare the
+driver uses.
 
 A "dataset card" row condenses the numbers every other observability
 family computes separately into the one table reviewers actually read:

@@ -22,10 +22,9 @@ giant source concentrates its rank sort in one task -- the same bound
 as any per-key window; the chunked-window rewrite
 (operators/scale.py) is the escape hatch if a source ever needs it.
 
-NOT yet registered -- same round-9 window arithmetic as
-functions/corpus_diff.py; registration is part of the round-10
-two-line registry change. tests/test_quality_calibration.py already
-runs the driver-style oracle compare.
+Registered since round 10 (functions/registry.py); driver-hash green.
+tests/test_quality_calibration.py runs the driver-style oracle
+compare.
 """
 
 from __future__ import annotations
@@ -107,7 +106,7 @@ QUALITY_PCT_SQL = f"""
   ORDER BY doc_id
 """
 
-#: round-10 wiring: merge into functions/registry.py FUNCTION_QUERIES
+#: merged into functions/registry.py FUNCTION_QUERIES (round 10)
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, "str | None"]] = {
     "quality_percentile_by_source": (
         q_quality_percentile_by_source,

@@ -62,6 +62,24 @@ def test_waterfill_exhausts_budget_when_corpus_is_larger(spark, sf_small):
     assert g.alloc_total > g.budget - g.n_sources
 
 
+def test_budget_sampling_respects_allocation(spark, sf_small):
+    from etl_sales_pandas_sqlserver_spark.functions.budget import (
+        q_budget_sampled_by_source,
+    )
+
+    wf = {r.source: r for r in q_token_budget_waterfill(spark, sf_small).collect()}
+    rows = q_budget_sampled_by_source(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.target_ppm <= 1_000_000
+        assert r.target_ppm == wf[r.source].funded_ppm
+        # a fully-funded source passes every doc through the gate
+        # (gate < 1e6 always) -- achieved == avail exactly
+        if wf[r.source].fully_funded:
+            assert r.achieved_ppm == 1_000_000
+        assert r.tokens_sampled <= wf[r.source].avail
+
+
 def test_shard_manifest_invariants(spark, sf_small):
     rows = q_shard_manifest_tokens(spark, sf_small).collect()
     assert rows

@@ -1,8 +1,6 @@
-"""Driver-style parity + semantics for the (round-11-wiring) dataset
-cards family in functions/dataset_cards.py. The module is not yet
-registered (round 10's verification window is exactly full); these
-tests run the SAME compare the driver will, so registration is a
-two-line change with pre-verified behavior."""
+"""Driver-style parity + semantics for the dataset-cards family in
+functions/dataset_cards.py (registered since round 11); these tests
+run the SAME compare the driver uses."""
 
 from __future__ import annotations
 

@@ -5,8 +5,8 @@ structural properties a parity hash can't localize."""
 
 from __future__ import annotations
 
+from etl_sales_pandas_sqlserver_spark.functions.intmath import PPM as _PPM
 from etl_sales_pandas_sqlserver_spark.functions.source_stats import (
-    _PPM,
     q_contamination_matrix,
     q_lang_sampling_weights,
     q_source_dedup_rate,
