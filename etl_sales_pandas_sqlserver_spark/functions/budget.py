@@ -159,15 +159,22 @@ def q_budget_sampled_by_source(
 
     Scale: the doc-level work is one stateless projection + filter
     (zero shuffles beyond the final |sources| rollup); the water-fill
-    share is a |sources|-row broadcast join."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))
-        .cast("long")
-        .alias("n_tok"),
+    share is a |sources|-row broadcast join. The 3-int64-column token
+    projection is cached so the water-fill's per-source agg and the
+    doc-level gate pass share ONE scan of the text column."""
+    from ..cache import managed_cache
+
+    docs = managed_cache(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            .cast("long")
+            .alias("n_tok"),
+        )
     )
-    shares = _waterfill(_source_tokens(spark, sf_dir)).select(
+    per_source = docs.groupBy("source").agg(F.sum("n_tok").alias("avail"))
+    shares = _waterfill(per_source).select(
         "source",
         "avail",
         F.expr(exact_ppm_spark("alloc", "avail")).alias("target_ppm"),
