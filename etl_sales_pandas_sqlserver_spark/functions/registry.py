@@ -16,6 +16,7 @@ from .histograms import QUERIES_EXPORT as HISTOGRAM_QUERIES
 from .multimodal import QUERIES_EXPORT as MULTIMODAL_QUERIES
 from .paragraphs import QUERIES_EXPORT as PARAGRAPH_QUERIES
 from .png_codec import QUERIES_EXPORT as PNG_QUERIES
+from .pruning import QUERIES_EXPORT as PRUNING_QUERIES
 from .checksum import QUERIES_EXPORT as CHECKSUM_QUERIES
 from .cluster_ops import QUERIES_EXPORT as CLUSTER_OPS_QUERIES
 from .corpus_diff import QUERIES_EXPORT as CORPUS_DIFF_QUERIES
@@ -39,6 +40,7 @@ FUNCTION_QUERIES = {
     **MULTIMODAL_QUERIES,
     **PARAGRAPH_QUERIES,
     **PNG_QUERIES,
+    **PRUNING_QUERIES,
     **SAMPLING_QUERIES,
     **CHECKSUM_QUERIES,
     **CLUSTER_OPS_QUERIES,

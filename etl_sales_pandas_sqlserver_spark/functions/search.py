@@ -319,8 +319,12 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # broadcast).
 # ---------------------------------------------------------------------------
 
-LM_QUALITY_SQL = """
-  WITH toks AS (
+#: the score CTE chain ending in ``lm_scores(doc_id, n_bigrams,
+#: lm_score_ppm)`` — shared verbatim by the band-pruning oracle
+#: (functions/pruning.py), mirroring the shared ``lm_doc_scores``
+#: Spark helper
+LM_SCORES_CTE = """
+  toks AS (
     SELECT doc_id, string_split(trim(lower(text)), ' ') AS w
     FROM documents
   ),
@@ -353,16 +357,31 @@ LM_QUALITY_SQL = """
     ) d
     JOIN pairs p ON p.bh = d.bh
     JOIN uni u ON u.hw1 = d.hw1
+  ),
+  lm_scores AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
+    FROM scored GROUP BY doc_id
   )
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         CAST(SUM(ppm) // COUNT(*) AS BIGINT) AS lm_score_ppm
-  FROM scored GROUP BY doc_id
+"""
+
+LM_QUALITY_SQL = f"""
+  WITH {LM_SCORES_CTE}
+  SELECT doc_id, n_bigrams, lm_score_ppm
+  FROM lm_scores
   ORDER BY doc_id
 """
 
 
-def q_lm_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def lm_doc_scores(docs: DataFrame) -> DataFrame:
+    """Per-document corpus-bigram-LM quality score: mean over the
+    doc's bigrams of ``P(w2|w1)`` in integer ppm, computed against
+    the corpus-wide bigram/unigram counts. Returns
+    ``(doc_id, n_bigrams, lm_score_ppm)``; docs with <2 tokens are
+    absent (no bigrams — same rule on both engines). Shared by
+    ``text_lm_quality_rank`` and the band-pruning family
+    (functions/pruning.py) so the score spelling cannot drift between
+    the rank and the prune."""
     toks = docs.select(
         "doc_id", F.split(F.trim(F.lower(F.col("text"))), " ").alias("w")
     ).filter(F.size("w") >= 2)
@@ -386,14 +405,15 @@ def q_lm_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(uni, "hw1")
         .select("doc_id", F.expr("(c12 * 1000000) div c1").alias("ppm"))
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.expr("sum(ppm) div count(1)").alias("lm_score_ppm"),
-        )
-        .orderBy("doc_id")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(ppm) div count(1)").alias("lm_score_ppm"),
     )
+
+
+def q_lm_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_doc_scores(docs).orderBy("doc_id")
 
 
 SEARCH_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {

@@ -90,6 +90,17 @@ _REPRESENTATIVES = [
     "cluster_kmeans_assign",
     "cluster_kmeans_profile",
     "semantic_dedup_kmeans",
+    # round-10/11: cards, budget water-filling, shard manifest, PNG
+    "dataset_card_by_source",
+    "dataset_card_global",
+    "token_budget_waterfill",
+    "token_budget_summary",
+    "budget_sampled_by_source",
+    "shard_manifest_tokens",
+    "multimodal_png_decode",
+    "hist_quantiles_by_source",
+    "contamination_matrix_sources",
+    "lang_sampling_weights_sqrt",
 ]
 
 

@@ -84,6 +84,14 @@ _AFFECTED = [
     # the kernel's ASCII-only ValueError guard is gone — multi-byte
     # docs (3, 4, 8) must now hash identically on both engines
     "importance_weights_ngram",
+    # r11: the PNG round trip (byte-grain oracle, same population as
+    # BMP) and the LM band prune (split(' ') token grain on unicode,
+    # <2-token docs unscored on both engines)
+    "multimodal_png_decode",
+    "lm_band_prune_by_source",
+    "dataset_card_by_source",
+    "budget_sampled_by_source",
+    "shard_manifest_tokens",
 ]
 
 
