@@ -145,6 +145,32 @@ def q_token_budget_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_gate() -> "F.Column":
+    """Deterministic 32-bit md5 gate in [0, 10^6) over ``doc_id``,
+    salted ``#budget`` (decorrelated from the split/mix families).
+    A doc survives a rate iff ``gate < rate_ppm``. Shared by the
+    audit query below and the release pipeline
+    (functions/release.py); the DuckDB twin is
+    ``CAST('0x' || substr(md5(id || '#budget'), 1, 8) AS BIGINT)
+    % 1000000``."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("#budget")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+
+
 def q_budget_sampled_by_source(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -179,24 +205,8 @@ def q_budget_sampled_by_source(
         "avail",
         F.expr(exact_ppm_spark("alloc", "avail")).alias("target_ppm"),
     )
-    gate = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("doc_id").cast("string"), F.lit("#budget")
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 1_000_000
-    )
     sampled = (
-        docs.withColumn("gate", gate)
+        docs.withColumn("gate", sample_gate())
         .join(F.broadcast(shares), "source")  # broadcast-ok: |sources|-row waterfill frame
         .filter(F.col("gate") < F.col("target_ppm"))
     )

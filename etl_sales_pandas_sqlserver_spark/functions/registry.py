@@ -22,6 +22,7 @@ from .cluster_ops import QUERIES_EXPORT as CLUSTER_OPS_QUERIES
 from .corpus_diff import QUERIES_EXPORT as CORPUS_DIFF_QUERIES
 from .dataset_cards import QUERIES_EXPORT as DATASET_CARD_QUERIES
 from .quality_calibration import QUERIES_EXPORT as QUALITY_CAL_QUERIES
+from .release import QUERIES_EXPORT as RELEASE_QUERIES
 from .kmeans import QUERIES_EXPORT as KMEANS_QUERIES
 from .sampling import QUERIES_EXPORT as SAMPLING_QUERIES
 from .search import SEARCH_QUERIES
@@ -41,6 +42,7 @@ FUNCTION_QUERIES = {
     **PARAGRAPH_QUERIES,
     **PNG_QUERIES,
     **PRUNING_QUERIES,
+    **RELEASE_QUERIES,
     **SAMPLING_QUERIES,
     **CHECKSUM_QUERIES,
     **CLUSTER_OPS_QUERIES,

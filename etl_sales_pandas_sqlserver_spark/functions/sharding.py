@@ -54,21 +54,15 @@ _CHUNK = 4096
 _N_TOKENS_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))"
 
 
-def q_shard_manifest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))
-        .cast("long")
-        .alias("n_tok"),
-    )
-    # cache the 3-int64-column projection: the chunk-sum build and the
-    # join probe otherwise each re-scan the full text column just to
-    # recount tokens (two scans of the corpus's widest column for one
-    # narrow derived frame)
-    toks = managed_cache(
-        docs.withColumn("chunk", F.expr(f"doc_id div {_CHUNK}"))
-    )
-
+def assign_token_shards(toks: DataFrame) -> DataFrame:
+    """Add ``before`` (exclusive global prefix token sum over doc_id
+    order), ``total``, and ``shard_id`` to a ``(doc_id, n_tok, ...)``
+    frame via the deterministic two-phase decomposition described in
+    the module docstring. The input should be a narrow cached
+    projection — both the chunk-sum build and the join probe read it.
+    Shared by the plain manifest and the budgeted-release pipeline
+    (functions/release.py)."""
+    toks = toks.withColumn("chunk", F.expr(f"doc_id div {_CHUNK}"))
     chunk_sums = toks.groupBy("chunk").agg(F.sum("n_tok").alias("c_tok"))
     w_off = Window.orderBy("chunk").rowsBetween(
         Window.unboundedPreceding, -1
@@ -81,7 +75,6 @@ def q_shard_manifest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("c_tok").over(w_tot).alias("total"),
     )
-
     w_in = (
         Window.partitionBy("chunk")
         .orderBy("doc_id")
@@ -92,7 +85,7 @@ def q_shard_manifest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scale; as a plain equi-join the planner degrades it to a
     # shuffle join that reuses the same by-chunk partitioning the
     # within-chunk window needs
-    placed = (
+    return (
         toks.join(offsets, "chunk")
         .withColumn(
             "before",
@@ -107,6 +100,20 @@ def q_shard_manifest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def q_shard_manifest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    # cache the 2-int64-column projection: the chunk-sum build and the
+    # join probe otherwise each re-scan the full text column just to
+    # recount tokens (two scans of the corpus's widest column for one
+    # narrow derived frame)
+    placed = assign_token_shards(managed_cache(docs))
     return (
         placed.groupBy("shard_id")
         .agg(

@@ -112,3 +112,42 @@ def test_shard_manifest_empty_documents(spark):
         empty.write.parquet(os.path.join(d, "documents.parquet"))
         out = q_shard_manifest_tokens(spark, d).collect()
     assert out == []
+
+
+def test_release_pipeline_consistent_with_stages(spark, sf_small):
+    """The composite must agree with its stages run separately: total
+    released docs/tokens == the audit query's rollup, and the shard
+    spans stay contiguous."""
+    from etl_sales_pandas_sqlserver_spark.functions.budget import (
+        q_budget_sampled_by_source,
+    )
+    from etl_sales_pandas_sqlserver_spark.functions.release import (
+        q_release_shard_manifest,
+    )
+
+    shards = q_release_shard_manifest(spark, sf_small).collect()
+    audit = q_budget_sampled_by_source(spark, sf_small).collect()
+    assert shards
+    assert sum(r.n_docs for r in shards) == sum(r.n_docs_sampled for r in audit)
+    assert sum(r.tokens for r in shards) == sum(
+        r.tokens_sampled for r in audit
+    )
+    by_id = sorted(shards, key=lambda r: r.shard_id)
+    for a, b in zip(by_id, by_id[1:]):
+        assert a.max_doc_id < b.min_doc_id
+    from etl_sales_pandas_sqlserver_spark.functions.sharding import _N_SHARDS
+
+    assert all(0 <= r.shard_id < _N_SHARDS for r in by_id)
+    assert all(1 <= r.n_sources for r in by_id)
+
+
+def test_release_oracle_parity(spark, sf_small):
+    from etl_sales_pandas_sqlserver_spark.functions.release import (
+        QUERIES_EXPORT as RELEASE_QUERIES,
+    )
+
+    from .oracle_compare import compare, run_oracle
+
+    fn, sql = RELEASE_QUERIES["release_shard_manifest"]
+    problems = compare(fn(spark, sf_small), run_oracle(sql, sf_small))
+    assert not problems, problems

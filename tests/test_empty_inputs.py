@@ -98,6 +98,8 @@ _REPRESENTATIVES = [
     "budget_sampled_by_source",
     "shard_manifest_tokens",
     "multimodal_png_decode",
+    "lm_band_prune_by_source",
+    "release_shard_manifest",
     "hist_quantiles_by_source",
     "contamination_matrix_sources",
     "lang_sampling_weights_sqrt",

@@ -92,6 +92,7 @@ _AFFECTED = [
     "dataset_card_by_source",
     "budget_sampled_by_source",
     "shard_manifest_tokens",
+    "release_shard_manifest",
 ]
 
 
