@@ -69,6 +69,12 @@ FAMILIES: dict[str, list[str]] = {
     # DISTINCT tokens, so this exercises the token-count agg and the
     # TakeOrdered vocab at 10x vocabulary, not just 10x occurrences
     "batching_oov": ["oov_rate_by_source"],
+    # round-11: the bigram-LM band prune (10x docs AND ~10x distinct
+    # bigrams from the suffixed replicas — both count aggs and the
+    # per-source rank window scale together) and the budgeted-release
+    # composite (waterfill + gate + two-phase prefix-sum sharding)
+    "lm_prune": ["lm_band_prune_by_source"],
+    "release": ["release_shard_manifest"],
 }
 
 #: round-8: hot-key families, run against the SKEWED 10x events
