@@ -50,21 +50,19 @@ from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
 from .intmath import exact_ppm_spark, exact_ppm_sql
+from .tokcount import N_TOKENS_SQL as _N_TOKENS_SQL
+from .tokcount import n_tokens_spark
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 #: budget = total_tokens div _BUDGET_DIV (2 => half the corpus)
 _BUDGET_DIV = 2
 
-_N_TOKENS_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))"
-
 
 def _source_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("source").agg(
-        F.sum(
-            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-        ).alias("avail")
+        F.sum(n_tokens_spark()).alias("avail")
     )
 
 
@@ -152,7 +150,14 @@ def sample_gate() -> "F.Column":
     audit query below and the release pipeline
     (functions/release.py); the DuckDB twin is
     ``CAST('0x' || substr(md5(id || '#budget'), 1, 8) AS BIGINT)
-    % 1000000``."""
+    % 1000000``.
+
+    The 32-bit prefix modulo 10^6 is slightly non-uniform
+    (2^32 % 10^6 = 967296, so gates below 967296 are overrepresented
+    by ~1/4295); both engines agree, so parity is unaffected — the
+    bias only shows as a ~0.02% systematic tilt of achieved_ppm vs
+    target_ppm, matching the established sampling-gate convention
+    across the split/mix families."""
     return (
         F.conv(
             F.substring(
@@ -194,9 +199,7 @@ def q_budget_sampled_by_source(
         load_table(spark, sf_dir, "documents").select(
             "doc_id",
             "source",
-            F.size(F.split(F.trim(F.col("text")), r"\s+"))
-            .cast("long")
-            .alias("n_tok"),
+            n_tokens_spark().alias("n_tok"),
         )
     )
     per_source = docs.groupBy("source").agg(F.sum("n_tok").alias("avail"))

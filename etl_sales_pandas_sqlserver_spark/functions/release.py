@@ -9,8 +9,8 @@ primitives end-to-end on ONE cached projection:
 2. **sample**: the deterministic md5 ppm gate admits each doc iff
    ``gate < funded_ppm(source)`` (the same shared gate the audit
    query reports on);
-3. **shard**: the SAMPLED stream flows through the two-phase exclusive
-   prefix sum (``functions/sharding.py``) into token-balanced output
+3. **shard**: the SAMPLED stream flows through the two-level chunked
+   exclusive prefix sum (``functions/sharding.py``) into token-balanced output
    shards — each row of the result is one shard a copy task would
    write, with its doc/token volume and source diversity.
 
@@ -24,8 +24,9 @@ straight-line semantics is a hash mismatch.
 
 Scale: one text scan into the cached 4-int64-column projection; the
 water-fill is |sources|-row windows; the gate is stateless; the shard
-assignment adds the two shuffles the plain manifest pays (chunk sums,
-by-chunk window) — nothing new beyond the proven stages.
+assignment adds the shuffles the plain manifest pays (chunk sums,
+superchunk rollup, by-chunk window) — nothing new beyond the proven
+stages.
 """
 
 from __future__ import annotations
@@ -37,9 +38,11 @@ from pyspark.sql import functions as F
 
 from ..cache import managed_cache
 from ..sources.testdata import load_table
-from .budget import _N_TOKENS_SQL, _WF_CTE, _waterfill, sample_gate
+from .budget import _WF_CTE, _waterfill, sample_gate
 from .intmath import exact_ppm_spark, exact_ppm_sql
 from .sharding import _N_SHARDS, assign_token_shards
+from .tokcount import N_TOKENS_SQL as _N_TOKENS_SQL
+from .tokcount import n_tokens_spark
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -49,9 +52,7 @@ def q_release_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select(
             "doc_id",
             "source",
-            F.size(F.split(F.trim(F.col("text")), r"\s+"))
-            .cast("long")
-            .alias("n_tok"),
+            n_tokens_spark().alias("n_tok"),
             sample_gate().alias("gate"),
         )
     )

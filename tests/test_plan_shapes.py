@@ -403,3 +403,41 @@ def test_heavy_hitters_counts_only_candidates(spark, sf_small):
         "exact count aggregate is not downstream of the candidate "
         "semi-join"
     )
+
+
+def _assert_no_window_funnel(plan: str) -> None:
+    """Every Exchange SinglePartition in ``plan`` must sit directly on
+    a PROVABLY BOUNDED frame: a keys-[] aggregate (the |supers|-array
+    collect or a scalar total) or the keys-[source] aggregate (the
+    |sources|-row water-fill frame from functions/budget.py). In
+    particular the old chunk-offset funnel — a single-partition window
+    over the UNBOUNDED keys-[chunk] frame — fails this (keys=[chunk]
+    grows with the doc-id range; keys=[source] does not)."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        child = lines[i + 1]
+        bounded = (
+            "HashAggregate(keys=[]" in child
+            or "ObjectHashAggregate(keys=[]" in child
+            or "SortAggregate(key=[]" in child
+            or "HashAggregate(keys=[source#" in child
+        )
+        assert bounded, (
+            f"unbounded single-partition funnel: {child.strip()[:120]}"
+        )
+
+
+def test_shard_prefix_sum_has_no_single_partition_window(spark, sf_small):
+    """The two-level chunked prefix sum (functions/sharding.py) must
+    plan ZERO single-partition windows: the within-chunk and
+    within-super windows are key-partitioned, and the only global
+    funnel is the bounded |supers|-array collect aggregate. Guards the
+    r11->r12 rewrite that removed the last unbounded-at-extreme-scale
+    window from a registered plan."""
+    for name in ("shard_manifest_tokens", "release_shard_manifest"):
+        fn, _ = QUERIES[name]
+        plan = _physical(fn(spark, sf_small))
+        assert "Window [" in plan, f"{name}: expected chunk windows"
+        _assert_no_window_funnel(plan)
