@@ -19,22 +19,37 @@ SHARED spelling from functions/search.py (``lm_doc_scores`` /
 drift apart. Docs with <2 tokens have no bigrams and are not scored
 (identical rule both engines).
 
-Scale: the score build is the bigram family's (int64-keyed shuffles
-only); the band adds one source-partitioned window (rank + count
-share the one exchange) and a map-side-combinable rollup to
-|sources| rows. A skewed giant source concentrates its rank sort in
-one task — same bound as any per-key window; the chunked-window
-rewrite (operators/scale.py) is the escape hatch.
+Scale (r12 rewrite): the naive shape — ``row_number`` partitioned by
+source — serializes a skewed giant source's sort into one task. Since
+every output here depends only on rank BANDS, not the ``doc_id``
+tiebreak within a tied score, it is computed instead on the bounded
+DISTINCT-SCORE frame (functions/rankframe.py): counts per
+(source, score), one window over ≤ 1e6+1 rows per source (the ppm
+score domain), then band arithmetic —
+
+    n_pruned_low  = n div 4           (ranks 1 .. n div 4)
+    n_kept        = (3n) div 4 - n div 4
+    n_pruned_high = n - (3n) div 4
+    kept min/max  = extreme scores whose rank block [lo, hi]
+                    intersects the kept band (n div 4, (3n) div 4]
+
+so a source with a billion docs costs the same window as one with a
+thousand. The score build is the bigram family's (int64-keyed
+shuffles only); the rollup to |sources| rows is map-side combinable.
+The ORACLE stays the naive per-row ``ROW_NUMBER`` window, so the
+driver hash-compare proves the band arithmetic equal to the
+rank-by-rank definition.
 """
 
 from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
+from .rankframe import distinct_score_rank_frame
 from .search import LM_SCORES_CTE, lm_doc_scores
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -45,26 +60,25 @@ def q_lm_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = lm_doc_scores(docs).join(
         docs.select("doc_id", "source"), "doc_id"
     )
-    w_rnk = Window.partitionBy("source").orderBy("lm_score_ppm", "doc_id")
-    w_src = Window.partitionBy("source")
-    ranked = scores.select(
-        "source",
-        "lm_score_ppm",
-        F.row_number().over(w_rnk).alias("rnk"),
-        F.count(F.lit(1)).over(w_src).alias("n"),
+    framed = distinct_score_rank_frame(scores, ["source"])
+    # a tied-score block [lo, hi] intersects the kept rank band
+    # (n div 4, (3n) div 4] iff lo <= (3n) div 4 AND hi > n div 4
+    inter = (F.col("lo") <= F.expr("(3 * n) div 4")) & (
+        F.col("hi") > F.expr("n div 4")
     )
-    low = F.col("rnk") * 4 <= F.col("n")
-    high = F.col("rnk") * 4 > F.col("n") * 3
-    kept = ~low & ~high
     return (
-        ranked.groupBy("source")
+        framed.groupBy("source")
         .agg(
             F.max("n").alias("n_scored"),
-            F.sum(low.cast("long")).alias("n_pruned_low"),
-            F.sum(kept.cast("long")).alias("n_kept"),
-            F.sum(high.cast("long")).alias("n_pruned_high"),
-            F.min(F.when(kept, F.col("lm_score_ppm"))).alias("kept_min_ppm"),
-            F.max(F.when(kept, F.col("lm_score_ppm"))).alias("kept_max_ppm"),
+            F.max(F.expr("n div 4")).alias("n_pruned_low"),
+            F.max(F.expr("(3 * n) div 4 - n div 4")).alias("n_kept"),
+            F.max(F.expr("n - (3 * n) div 4")).alias("n_pruned_high"),
+            F.min(F.when(inter, F.col("lm_score_ppm"))).alias(
+                "kept_min_ppm"
+            ),
+            F.max(F.when(inter, F.col("lm_score_ppm"))).alias(
+                "kept_max_ppm"
+            ),
         )
         .orderBy("source")
     )
