@@ -198,22 +198,25 @@ def _misra_gries_candidates(keys: DataFrame, k: int) -> DataFrame:
     col = keys.columns[0]
 
     def summarize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        # Batch-merged Misra-Gries (Agarwal et al. mergeable-summaries
+        # form): fold each Arrow batch's EXACT value_counts into the
+        # capped counter, then shrink by subtracting the (k+1)-th
+        # largest count and dropping non-positives. Per batch this is
+        # one vectorized count + an O(m log m) sort over m <= k +
+        # |distinct in batch| — no per-row Python loop. The guarantee
+        # the recount stage needs survives: total decrement per key is
+        # bounded exactly as in row-at-a-time MG, so any key with
+        # partition frequency > partition_count/(k+1) is retained.
         counters: dict = {}
         for pdf in batches:
-            for key in pdf[col].to_numpy():
-                if key in counters:
-                    counters[key] += 1
-                elif len(counters) < k:
-                    counters[key] = 1
-                else:
-                    # decrement-all step; drop zeros
-                    dead = []
-                    for c in counters:
-                        counters[c] -= 1
-                        if counters[c] == 0:
-                            dead.append(c)
-                    for c in dead:
-                        del counters[c]
+            for key, cnt in pdf[col].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+            if len(counters) > k:
+                vals = sorted(counters.values(), reverse=True)
+                thresh = vals[k]
+                counters = {
+                    c: v - thresh for c, v in counters.items() if v > thresh
+                }
         yield pd.DataFrame({col: list(counters.keys())})
 
     return keys.mapInPandas(summarize, schema=f"{col} {keys.schema[col].dataType.simpleString()}").distinct()
