@@ -100,6 +100,10 @@ _REPRESENTATIVES = [
     "multimodal_png_decode",
     "lm_band_prune_by_source",
     "release_shard_manifest",
+    # r12: the curriculum family (distinct-score rank frames)
+    "curriculum_decile_bounds",
+    "curriculum_stage_mix",
+    "curriculum_pacing_schedule",
     "hist_quantiles_by_source",
     "contamination_matrix_sources",
     "lang_sampling_weights_sqrt",

@@ -93,6 +93,11 @@ _AFFECTED = [
     "budget_sampled_by_source",
     "shard_manifest_tokens",
     "release_shard_manifest",
+    # r12: curriculum rank-band stats on the same LM-score grain --
+    # unicode token splitting + <2-token exclusion must agree
+    "curriculum_decile_bounds",
+    "curriculum_stage_mix",
+    "curriculum_pacing_schedule",
 ]
 
 

@@ -75,6 +75,10 @@ FAMILIES: dict[str, list[str]] = {
     # composite (waterfill + gate + two-phase prefix-sum sharding)
     "lm_prune": ["lm_band_prune_by_source"],
     "release": ["release_shard_manifest"],
+    # round-12: the curriculum family shares the LM-score build with
+    # lm_prune but adds the global distinct-score stage map (bounded
+    # by the ppm domain, so 10x docs must NOT grow the stage-map side)
+    "curriculum": ["curriculum_stage_mix"],
 }
 
 #: round-8: hot-key families, run against the SKEWED 10x events
