@@ -107,3 +107,62 @@ def test_write_jdbc_roundtrip_values(spark, sales_df):
         for r in _read_back(spark, "sales_vals").collect()
     }
     assert got == {("A1", "KIT", 10.5), ("A2", "BOX", 20.0), ("A3", "BAG", 30.25)}
+
+
+def test_if_exists_mode_mapping_contract():
+    """The reference's pandas ``if_exists`` values map onto Spark JDBC
+    writer modes exactly as documented (reference etl_utils.py:134-160
+    uses 'replace' for Ventas_Validas/Invalidas and 'append' for the
+    monthly summary). keep_ddl adds truncate=true — the mssql
+    TRUNCATE-keeping-DDL path that pandas cannot express."""
+    from etl_sales_pandas_sqlserver_spark.sources.sinks import (
+        pandas_if_exists_mapping,
+    )
+
+    assert pandas_if_exists_mapping("replace") == ("overwrite", {})
+    assert pandas_if_exists_mapping("replace", keep_ddl=True) == (
+        "overwrite",
+        {"truncate": "true"},
+    )
+    assert pandas_if_exists_mapping("append") == ("append", {})
+    assert pandas_if_exists_mapping("fail") == ("errorifexists", {})
+    with pytest.raises(ValueError):
+        pandas_if_exists_mapping("upsert")
+
+
+def test_overwrite_truncate_keeps_ddl_overwrite_recreates(spark, sales_df):
+    """Against live Derby: plain overwrite drops + recreates DDL (the
+    pandas 'replace' twin), overwrite+truncate reuses it. Probe: widen
+    a column's DDL by hand; the truncate path must keep the widened
+    type, the plain path must regenerate the narrow one."""
+    from py4j.java_gateway import java_import
+
+    write_jdbc(sales_df, _URL, "sales_ddl", mode="overwrite", options=_OPTS)
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "java.sql.DriverManager")
+    conn = jvm.java.sql.DriverManager.getConnection(_URL)
+    try:
+        st = conn.createStatement()
+        st.execute("ALTER TABLE sales_ddl ADD COLUMN extra_ddl INTEGER")
+        st.close()
+        # truncate path: DDL (incl. the hand-added column) survives
+        write_jdbc(
+            sales_df.limit(1),
+            _URL,
+            "sales_ddl",
+            mode="overwrite",
+            options={**_OPTS, "truncate": "true"},
+        )
+        out = _read_back(spark, "sales_ddl")
+        assert out.count() == 1
+        assert "extra_ddl" in {c.lower() for c in out.columns}
+        # plain overwrite: drop + recreate from the DataFrame schema,
+        # hand-added column gone (== pandas if_exists='replace')
+        write_jdbc(
+            sales_df.limit(2), _URL, "sales_ddl", mode="overwrite", options=_OPTS
+        )
+        out = _read_back(spark, "sales_ddl")
+        assert out.count() == 2
+        assert "extra_ddl" not in {c.lower() for c in out.columns}
+    finally:
+        conn.close()
