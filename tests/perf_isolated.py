@@ -58,6 +58,12 @@ def main() -> int:
         spark.catalog.clearCache()
         runs = []
         for _ in range(n_runs):
+            # drain pending JVM garbage BEFORE the clock starts: r11's
+            # dedup_jaccard_prefix_filter isolated runs read
+            # [3.6, 2.8, 11.1, 2.5, 3.7] s -- one full-GC stall landing
+            # inside a timed run triples it. An explicit System.gc()
+            # between runs moves that stall outside the timing window.
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(round(time.perf_counter() - t0, 3))
