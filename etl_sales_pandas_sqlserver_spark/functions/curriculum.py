@@ -47,6 +47,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import managed_cache
 from ..sources.testdata import load_table
 from .intmath import exact_ppm_spark, exact_ppm_sql
 from .rankframe import distinct_score_rank_frame
@@ -122,7 +123,11 @@ def _stage_map(scored: DataFrame) -> DataFrame:
 
 
 def q_curriculum_stage_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = _scored_docs(spark, sf_dir)
+    # cache the narrow scored projection: the stage-map build AND the
+    # doc-level join probe both read it — uncached, each re-runs the
+    # full corpus bigram-LM score build (the budget-sampler pattern:
+    # one text scan instead of two)
+    scored = managed_cache(_scored_docs(spark, sf_dir))
     # equi-join on the integer score; the stage map is <= 1e6+1 rows
     # (no broadcast hint: AQE broadcasts it at any realistic size)
     staged = scored.join(_stage_map(scored), "lm_score_ppm")
@@ -139,7 +144,8 @@ def q_curriculum_stage_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_curriculum_pacing_schedule(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    scored = _scored_docs(spark, sf_dir)
+    # same double-read as the stage mix: cache the scored projection
+    scored = managed_cache(_scored_docs(spark, sf_dir))
     staged = scored.join(_stage_map(scored), "lm_score_ppm")
     per_stage = staged.groupBy("stage").agg(
         F.count(F.lit(1)).alias("n_docs"),
