@@ -220,3 +220,34 @@ def test_prefix_filter_complete_on_adversarial_docs(spark, tmp_path):
             want.add((a, b))
     assert want, "constructed corpus must contain qualifying pairs"
     assert got == want
+
+
+def test_misra_gries_batch_merge_property(spark):
+    """Randomized pin of the batch-merged kernel's guarantee: over
+    random multisets with planted heavy keys, every key with
+    single-partition frequency > N/(k+1) survives the capped summary
+    regardless of arrival order (the shrink step subtracts the
+    (k+1)-th largest count, so total undercount per key is bounded by
+    N/(k+1) exactly as in row-at-a-time MG)."""
+    import random
+
+    from etl_sales_pandas_sqlserver_spark.functions.search import (
+        _misra_gries_candidates,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    for trial in range(3):
+        k = 8
+        n = 5000
+        # plant 2 heavies safely above n/(k+1) ~ 555, bury them in a
+        # long tail of ~uniform distinct keys
+        keys = [1] * 900 + [2] * 700
+        keys += [rng.randrange(10_000, 90_000) for _ in range(n - len(keys))]
+        rng.shuffle(keys)
+        df = (
+            spark.createDataFrame([(x,) for x in keys], ["user_id"])
+            .coalesce(1)  # single partition: the per-partition bound
+        )
+        cand = {r.user_id for r in _misra_gries_candidates(df, k).collect()}
+        assert 1 in cand and 2 in cand, f"trial {trial}: heavy key lost"
+        assert len(cand) <= k, f"trial {trial}: capacity exceeded"
