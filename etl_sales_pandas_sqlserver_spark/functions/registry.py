@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from ..streaming.queries import QUERIES_EXPORT as STREAMING_QUERIES
 from .batching import QUERIES_EXPORT as BATCHING_QUERIES
+from .bpe import QUERIES_EXPORT as BPE_QUERIES
 from .budget import QUERIES_EXPORT as BUDGET_QUERIES
 from .dedup import QUERIES_EXPORT as DEDUP_QUERIES
 from .histograms import QUERIES_EXPORT as HISTOGRAM_QUERIES
@@ -44,6 +45,7 @@ FUNCTION_QUERIES = {
     **PNG_QUERIES,
     **PRUNING_QUERIES,
     **CURRICULUM_QUERIES,
+    **BPE_QUERIES,
     **RELEASE_QUERIES,
     **SAMPLING_QUERIES,
     **CHECKSUM_QUERIES,

@@ -104,6 +104,7 @@ _REPRESENTATIVES = [
     "curriculum_decile_bounds",
     "curriculum_stage_mix",
     "curriculum_pacing_schedule",
+    "bpe_top_pairs",
     "hist_quantiles_by_source",
     "contamination_matrix_sources",
     "lang_sampling_weights_sqrt",

@@ -98,6 +98,8 @@ _AFFECTED = [
     "curriculum_decile_bounds",
     "curriculum_stage_mix",
     "curriculum_pacing_schedule",
+    # r12: character-pair counts -- multibyte substr grain must agree
+    "bpe_top_pairs",
 ]
 
 
