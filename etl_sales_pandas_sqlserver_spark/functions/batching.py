@@ -68,22 +68,18 @@ from .intmath import (
 )
 from .textstats import _TOKEN_SPLIT
 
+# Both token-count spellings come from the corpus-wide single source
+# of truth (functions/tokcount.py) — the same grain the budget /
+# sharding / release / curriculum families compute on, so batch
+# economics can never desync from the shard boundaries. The aliases
+# keep the historical call-site names.
+from .tokcount import N_TOKENS_SQL as _N_TOKENS_SQL
+from .tokcount import n_tokens_spark as _n_tokens_col
+
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 _MIN_BUCKET = 16
 _CTX_SIZES = (128, 256, 512)
 _VOCAB_K = 64
-
-
-def _n_tokens_col() -> "F.Column":
-    """Whitespace token count — the exact spelling the lang-weights
-    query uses (split of a trimmed doc; an all-whitespace doc counts
-    1, identically in both engines, so n >= 1 always holds)."""
-    return F.size(F.split(F.trim(F.col("text")), _TOKEN_SPLIT)).cast("long")
-
-
-# DuckDB twin of _n_tokens_col (kept in one place; all three oracles
-# embed it)
-_N_TOKENS_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))"
 
 
 # ---------------------------------------------------------------------------

@@ -45,7 +45,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
-from .batching import _N_TOKENS_SQL, _n_tokens_col
+from .tokcount import N_TOKENS_SQL as _N_TOKENS_SQL
+from .tokcount import n_tokens_spark as _n_tokens_col
 from .histograms import _BIN_CAP_SPARK, _BIN_CAP_SQL, ceil_rank_cap_agg
 from .intmath import PPM as _PPM, exact_ppm_spark, exact_ppm_sql
 from .textstats import fingerprint_col

@@ -46,3 +46,44 @@ def test_spark_and_duckdb_token_counts_agree(spark):
     ]
     con.close()
     assert got == want, list(zip(_CASES, got, want))
+
+
+def test_vertical_tab_is_the_known_divergence(spark):
+    """U+000B is the ONE whitespace shape the two engines disagree on
+    (Java \\s includes it, RE2 \\s does not) — documented in the
+    tokcount module docstring rather than respelled, because '\\s+' is
+    embedded in the paired oracle SQL of the whole textstats family.
+    This test pins the divergence LOUDLY: if either engine's \\s
+    semantics ever change (or the spelling is aligned), it fails and
+    the docstring + exclusion tripwire below must be revisited."""
+    text = "a\x0bb"
+    sdf = spark.createDataFrame([(text,)], ["text"])
+    spark_n = sdf.select(n_tokens_spark().alias("n")).collect()[0].n
+    con = duckdb.connect()
+    duck_n = con.execute(
+        f"SELECT CAST({N_TOKENS_SQL} AS BIGINT) FROM (SELECT ? AS text)",
+        [text],
+    ).fetchone()[0]
+    con.close()
+    assert spark_n == 2  # Java \s matches \x0B -> two tokens
+    assert duck_n == 1  # RE2 \s does not -> one token
+
+
+def test_testdata_contains_no_vertical_tab():
+    """The \\x0B exclusion that keeps the documented divergence latent:
+    no document in the driver testdata contains a vertical tab, at any
+    scale the correctness gate runs. If the driver ever regenerates
+    testdata with \\x0B in it, this fires before any oracle mismatch
+    confuses a round."""
+    import os
+
+    for sf in ("0.001", "0.01", "0.1"):
+        path = f"/root/testdata/sf{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        n = duckdb.sql(
+            "SELECT count(*) FROM read_parquet(?) "
+            "WHERE text LIKE '%' || chr(11) || '%'",
+            params=[path],
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf}: {n} docs contain U+000B"
