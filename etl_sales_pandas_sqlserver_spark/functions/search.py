@@ -207,9 +207,19 @@ def _misra_gries_candidates(keys: DataFrame, k: int) -> DataFrame:
         # the recount stage needs survives: total decrement per key is
         # bounded exactly as in row-at-a-time MG, so any key with
         # partition frequency > partition_count/(k+1) is retained.
+        # Null keys count too (dropna=False): the row-at-a-time kernel
+        # this replaced counted them, and a null key CAN be a true
+        # heavy hitter. NaN/None normalize to one sentinel so the
+        # count folds into a single counter across batches (NaN is
+        # not equal to itself as a dict key -- split counters would
+        # each be decremented separately and break the superset
+        # guarantee).
+        _null = object()
         counters: dict = {}
         for pdf in batches:
-            for key, cnt in pdf[col].value_counts().items():
+            for key, cnt in pdf[col].value_counts(dropna=False).items():
+                if pd.isna(key):
+                    key = _null
                 counters[key] = counters.get(key, 0) + int(cnt)
             if len(counters) > k:
                 vals = sorted(counters.values(), reverse=True)
@@ -217,17 +227,27 @@ def _misra_gries_candidates(keys: DataFrame, k: int) -> DataFrame:
                 counters = {
                     c: v - thresh for c, v in counters.items() if v > thresh
                 }
-        yield pd.DataFrame({col: list(counters.keys())})
+        yield pd.DataFrame(
+            {col: [None if c is _null else c for c in counters]}
+        )
 
     return keys.mapInPandas(summarize, schema=f"{col} {keys.schema[col].dataType.simpleString()}").distinct()
 
 
 def q_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    cand = _misra_gries_candidates(ev, _HH_K)
+    # null-safe semi join: the kernel now emits a null candidate when
+    # nulls are frequent, and SQL GROUP BY (the oracle) keeps the NULL
+    # group -- a plain equi semi join would silently drop it here.
+    # EqualNullSafe still hash-joins (no BNLJ).
+    cand = _misra_gries_candidates(ev, _HH_K).withColumnRenamed(
+        "user_id", "_cand_id"
+    )
     total = ev.agg(F.count(F.lit(1)).alias("total"))
     return (
-        ev.join(cand, "user_id", "left_semi")
+        ev.join(
+            cand, F.col("user_id").eqNullSafe(F.col("_cand_id")), "left_semi"
+        )
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .crossJoin(F.broadcast(total))  # single-row total

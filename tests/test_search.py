@@ -251,3 +251,52 @@ def test_misra_gries_batch_merge_property(spark):
         cand = {r.user_id for r in _misra_gries_candidates(df, k).collect()}
         assert 1 in cand and 2 in cand, f"trial {trial}: heavy key lost"
         assert len(cand) <= k, f"trial {trial}: capacity exceeded"
+
+
+def test_misra_gries_null_key_is_a_candidate_and_survives_recount(spark):
+    """A null key that is a true heavy hitter must (a) survive the MG
+    kernel -- value_counts(dropna=False), NaN normalized to ONE
+    sentinel counter so cross-batch counts fold instead of splitting --
+    and (b) survive the null-safe recount semi join (plain equi join
+    would drop it while the SQL-GROUP-BY oracle keeps the NULL group).
+    Latent on the stock testdata (events.user_id has no nulls); this
+    pins it on a synthetic."""
+    from etl_sales_pandas_sqlserver_spark.functions.search import (
+        _HH_K,
+        _misra_gries_candidates,
+    )
+
+    # 10_000 rows: null appears 3000x (a heavy hitter at any k >= 4),
+    # the rest a uniform tail of distinct keys
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 3000, F.lit(None))
+        .otherwise(F.col("id"))
+        .cast("long")
+        .alias("user_id")
+    ).repartition(8)
+    k = 16
+    cand = [r.user_id for r in _misra_gries_candidates(df, k).collect()]
+    assert None in cand  # freq 3000 > 10000/16: must survive the sketch
+
+    # end-to-end recount through the registered query shape: same
+    # plan as q_heavy_hitters_users, on the synthetic frame
+    cand_df = _misra_gries_candidates(df, k).withColumnRenamed(
+        "user_id", "_cand_id"
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total"))
+    out = (
+        df.join(
+            cand_df,
+            F.col("user_id").eqNullSafe(F.col("_cand_id")),
+            "left_semi",
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * k > F.col("total"))
+        .select("user_id", "n_events")
+        .collect()
+    )
+    got = {(r.user_id, r.n_events) for r in out}
+    assert (None, 3000) in got
+    assert _HH_K  # imported constant stays referenced
