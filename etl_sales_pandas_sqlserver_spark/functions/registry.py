@@ -20,6 +20,7 @@ from .png_codec import QUERIES_EXPORT as PNG_QUERIES
 from .pruning import QUERIES_EXPORT as PRUNING_QUERIES
 from .checksum import QUERIES_EXPORT as CHECKSUM_QUERIES
 from .cluster_ops import QUERIES_EXPORT as CLUSTER_OPS_QUERIES
+from .currpack import QUERIES_EXPORT as CURRPACK_QUERIES
 from .curriculum import QUERIES_EXPORT as CURRICULUM_QUERIES
 from .corpus_diff import QUERIES_EXPORT as CORPUS_DIFF_QUERIES
 from .dataset_cards import QUERIES_EXPORT as DATASET_CARD_QUERIES
@@ -45,6 +46,7 @@ FUNCTION_QUERIES = {
     **PNG_QUERIES,
     **PRUNING_QUERIES,
     **CURRICULUM_QUERIES,
+    **CURRPACK_QUERIES,
     **BPE_QUERIES,
     **RELEASE_QUERIES,
     **SAMPLING_QUERIES,

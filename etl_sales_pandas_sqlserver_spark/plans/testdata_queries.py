@@ -614,10 +614,11 @@ _register_extensions()
 # Registry-size floor: 166 as of round 10 (155 + corpus_diff ×2 +
 # quality_calibration ×1 + source_stats ×3 + batching ×3 +
 # histograms ×2 + dataset_cards ×2 + budget ×3 + sharding ×1 +
-# png ×1 + pruning ×1 + release ×1 + curriculum ×3 + bpe ×1 (r12)). If a
+# png ×1 + pruning ×1 + release ×1 + curriculum ×3 + bpe ×1 (r12) +
+# currpack ×3 (r13)). If a
 # refactor ever drops a whole family, fail at import time rather than
 # letting the driver verify a shrunken registry.
-_REGISTRY_FLOOR = 179
+_REGISTRY_FLOOR = 182
 if len(QUERIES) < _REGISTRY_FLOOR:  # pragma: no cover - tripwire
     raise RuntimeError(
         f"query registry shrank: {len(QUERIES)} < {_REGISTRY_FLOOR} — "

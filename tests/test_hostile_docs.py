@@ -100,6 +100,11 @@ _AFFECTED = [
     "curriculum_pacing_schedule",
     # r12: character-pair counts -- multibyte substr grain must agree
     "bpe_top_pairs",
+    # r13: stage-homogeneous packing -- stage assignment (LM grain,
+    # <2-token exclusion) AND the \s+ token-count grain must agree
+    "pack_by_curriculum_stage",
+    "pack_stage_fill_summary",
+    "pack_fill_histogram",
 ]
 
 

@@ -79,6 +79,11 @@ FAMILIES: dict[str, list[str]] = {
     # lm_prune but adds the global distinct-score stage map (bounded
     # by the ppm domain, so 10x docs must NOT grow the stage-map side)
     "curriculum": ["curriculum_stage_mix"],
+    # round-13: stage-homogeneous packing — the LM-score build plus
+    # the two-level chunked per-stage prefix sum (10x docs => 10x
+    # chunk rows, windows stay <=4096 rows per partition; superlinear
+    # here would mean the decomposition degenerated)
+    "currpack": ["pack_by_curriculum_stage"],
 }
 
 #: round-8: hot-key families, run against the SKEWED 10x events
