@@ -17,4 +17,17 @@ engine to the operations a large-scale LLM training-data pipeline needs:
 Everything is built from JVM-side ``pyspark.sql.functions`` expressions
 except where Python is genuinely required (multimodal decode), which
 uses Arrow-batched pandas iterators -- never row-at-a-time UDFs.
+
+CACHE DISCIPLINE (r12, verified): AQE exchange reuse does NOT fire
+across diverging aggregate subplans, so whenever TWO consumers read
+one expensive derived frame (the bigram-LM scored projection, a
+narrow token-count projection, a staged frame), register the narrow
+projection through :func:`..cache.managed_cache` instead of relying
+on plan-level reuse -- uncached, each consumer silently re-runs the
+full build (e.g. the whole corpus LM score, twice). Pattern instances:
+``curriculum.q_curriculum_stage_mix``/``_pacing_schedule``,
+``currpack._packed_docs`` (two caches, ``extend=True``),
+``sharding.q_shard_manifest_tokens``. Composite plans that layer
+caches use ``extend=True`` so later registrations do not unpersist
+their own earlier ones.
 """
