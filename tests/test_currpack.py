@@ -109,3 +109,42 @@ def test_sequences_are_stage_homogeneous_and_zero_based(spark, sf_small):
     n_docs = packed.count()
     assert packed.select("stage", "doc_id").distinct().count() == n_docs
     packed.unpersist()
+
+
+def test_chunked_stage_prefix_property(spark):
+    """Property form of the hostile-id test: on randomized
+    (stage, doc_id, n_tok) frames — ids signed and spanning multiple
+    superchunks, token counts crossing the budget — the chunked
+    decomposition must equal the naive per-stage cumsum, under any
+    input partitioning."""
+    import random
+
+    from etl_sales_pandas_sqlserver_spark.functions.currpack import (
+        _PACK_BUDGET,
+        assign_stage_sequences,
+    )
+
+    rng = random.Random(0xC0FFEE)
+    sup_w = 4096 * 4096
+    for trial in range(3):
+        n = rng.randint(20, 120)
+        ids = rng.sample(range(-2 * sup_w, 5 * sup_w), n)
+        rows = [
+            (rng.randint(0, 2), d, rng.choice([1, 37, 512, 2047, 2048,
+                                               2049, 5000, 9001]))
+            for d in ids
+        ]
+        sdf = spark.createDataFrame(
+            rows, "stage long, doc_id long, n_tok long"
+        ).repartition(rng.choice([1, 5, 16]))
+        got = {
+            (r.stage, r.doc_id): r.seq_id
+            for r in assign_stage_sequences(sdf).collect()
+        }
+        want = {}
+        for s in (0, 1, 2):
+            before = 0
+            for d, t in sorted((d, t) for st, d, t in rows if st == s):
+                want[(s, d)] = before // _PACK_BUDGET
+                before += t
+        assert got == want, f"trial {trial}"
