@@ -35,6 +35,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.tokcount import N_TOKENS_SQL as _N_TOKENS_SQL
+from ..functions.tokcount import n_tokens_spark as _n_tokens_spark
 from ..session import shuffle_partitions
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -812,7 +814,62 @@ def q_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(target).select(*_UPSERT_COLS).orderBy("user_id")
 
 
+# ---------------------------------------------------------------------------
+# Streaming dataset-card ingest: per-source card counters maintained as
+# document files land. The batch dataset-card family
+# (functions/dataset_cards.py) recomputes cards from scratch; a corpus
+# that receives shards continuously wants the headline counters kept
+# fresh incrementally instead. Complete-mode aggregation: state is one
+# row of int64 counters PER SOURCE (bounded by |sources|, the same
+# bound as the budget family's frames), so at 100 TB/day the state
+# store holds kilobytes regardless of document volume. Token grain is
+# the corpus-wide spelling (functions/tokcount.py) — the streaming
+# card can never disagree with the batch budget/shard numbers. The
+# oracle is the batch GROUP BY, so the hash compare proves the
+# incremental ingest equals a from-scratch rebuild.
+# ---------------------------------------------------------------------------
+
+_DOCS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+STREAM_CARD_SQL = f"""
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM({_N_TOKENS_SQL}) AS BIGINT) AS tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS chars,
+         MIN(doc_id) AS min_doc_id,
+         MAX(doc_id) AS max_doc_id
+  FROM documents
+  GROUP BY source
+  ORDER BY source
+"""
+
+
+def q_stream_card_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        spark.readStream.schema(_DOCS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_n_tokens_spark()).alias("tokens"),
+        F.sum("n_chars").alias("chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+    return _run_to_table(spark, agg, "complete").orderBy("source")
+
+
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
+    "stream_dataset_card_ingest": (q_stream_card_ingest, STREAM_CARD_SQL),
     "stream_upsert_latest": (q_stream_upsert_latest, STREAM_UPSERT_SQL),
     "stream_sketch_daily_users": (q_stream_sketch_daily, STREAM_SKETCH_SQL),
     "stream_topk_types_per_hour": (q_stream_topk_types, STREAM_TOPK_SQL),

@@ -105,10 +105,11 @@ _REPRESENTATIVES = [
     "curriculum_stage_mix",
     "curriculum_pacing_schedule",
     "bpe_top_pairs",
-    # r13: the stage-homogeneous packing family
+    # r13: the stage-homogeneous packing family + streaming card ingest
     "pack_by_curriculum_stage",
     "pack_stage_fill_summary",
     "pack_fill_histogram",
+    "stream_dataset_card_ingest",
     "hist_quantiles_by_source",
     "contamination_matrix_sources",
     "lang_sampling_weights_sqrt",

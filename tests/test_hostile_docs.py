@@ -105,6 +105,9 @@ _AFFECTED = [
     "pack_by_curriculum_stage",
     "pack_stage_fill_summary",
     "pack_fill_histogram",
+    # r13: streaming card ingest -- the \s+ token-count grain on
+    # unicode/empty docs must agree through the streaming path too
+    "stream_dataset_card_ingest",
 ]
 
 
