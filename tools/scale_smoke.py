@@ -84,6 +84,10 @@ FAMILIES: dict[str, list[str]] = {
     # chunk rows, windows stay <=4096 rows per partition; superlinear
     # here would mean the decomposition degenerated)
     "currpack": ["pack_by_curriculum_stage"],
+    # round-13: streaming card ingest — complete-mode agg whose state
+    # is one row per source; 10x docs must cost ~10x scan, the state
+    # store must not grow with volume
+    "stream_card": ["stream_dataset_card_ingest"],
 }
 
 #: round-8: hot-key families, run against the SKEWED 10x events
