@@ -87,3 +87,28 @@ def test_testdata_contains_no_vertical_tab():
             params=[path],
         ).fetchone()[0]
         assert n == 0, f"sf{sf}: {n} docs contain U+000B"
+
+
+def test_all_consumers_bind_the_single_spelling():
+    """The r13 hoist's invariant, pinned: batching and dataset_cards
+    (and the families that always did) bind tokcount's objects, not
+    copies — reintroducing a private duplicate fails here before it
+    can drift."""
+    from etl_sales_pandas_sqlserver_spark.functions import (
+        batching,
+        budget,
+        curriculum,
+        dataset_cards,
+        release,
+        sharding,
+        tokcount,
+    )
+
+    assert batching._N_TOKENS_SQL is tokcount.N_TOKENS_SQL
+    assert batching._n_tokens_col is tokcount.n_tokens_spark
+    assert dataset_cards._N_TOKENS_SQL is tokcount.N_TOKENS_SQL
+    assert dataset_cards._n_tokens_col is tokcount.n_tokens_spark
+    assert budget._N_TOKENS_SQL is tokcount.N_TOKENS_SQL
+    assert release._N_TOKENS_SQL is tokcount.N_TOKENS_SQL
+    assert sharding.N_TOKENS_SQL is tokcount.N_TOKENS_SQL
+    assert curriculum.N_TOKENS_SQL is tokcount.N_TOKENS_SQL
