@@ -24,6 +24,7 @@ from .currpack import QUERIES_EXPORT as CURRPACK_QUERIES
 from .curriculum import QUERIES_EXPORT as CURRICULUM_QUERIES
 from .corpus_diff import QUERIES_EXPORT as CORPUS_DIFF_QUERIES
 from .dataset_cards import QUERIES_EXPORT as DATASET_CARD_QUERIES
+from .funnel import QUERIES_EXPORT as FUNNEL_QUERIES
 from .quality_calibration import QUERIES_EXPORT as QUALITY_CAL_QUERIES
 from .release import QUERIES_EXPORT as RELEASE_QUERIES
 from .kmeans import QUERIES_EXPORT as KMEANS_QUERIES
@@ -54,6 +55,7 @@ FUNCTION_QUERIES = {
     **CLUSTER_OPS_QUERIES,
     **CORPUS_DIFF_QUERIES,
     **DATASET_CARD_QUERIES,
+    **FUNNEL_QUERIES,
     **QUALITY_CAL_QUERIES,
     **KMEANS_QUERIES,
     **STREAMING_QUERIES,

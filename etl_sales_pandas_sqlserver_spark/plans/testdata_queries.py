@@ -618,7 +618,7 @@ _register_extensions()
 # currpack ×3 + stream_dataset_card_ingest (r13)). If a
 # refactor ever drops a whole family, fail at import time rather than
 # letting the driver verify a shrunken registry.
-_REGISTRY_FLOOR = 183
+_REGISTRY_FLOOR = 185
 if len(QUERIES) < _REGISTRY_FLOOR:  # pragma: no cover - tripwire
     raise RuntimeError(
         f"query registry shrank: {len(QUERIES)} < {_REGISTRY_FLOOR} — "

@@ -110,6 +110,9 @@ _REPRESENTATIVES = [
     "pack_stage_fill_summary",
     "pack_fill_histogram",
     "stream_dataset_card_ingest",
+    # r13: the curation funnel audit
+    "curation_funnel_stages",
+    "curation_funnel_by_source",
     "hist_quantiles_by_source",
     "contamination_matrix_sources",
     "lang_sampling_weights_sqrt",

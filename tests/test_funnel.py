@@ -1,0 +1,150 @@
+"""Curation funnel audit (functions/funnel.py) invariants the driver
+hash-compare can't pin from the stock testdata:
+
+- the duplicated spellings (fingerprint key, token-length gate) must
+  stay identical to their owning modules (the tokcount lesson);
+- FIRST-FAIL attribution priority: a document that is both a duplicate
+  and too short must land in ``exact_dup`` — both engines share the
+  CASE order, so only a semantic pin catches a reordering;
+- the funnel must telescope (docs_in chains by n_docs) and its ``kept``
+  row must equal the census total of ``corpus_curation_pipeline`` — the
+  audit and the pipeline it audits can never disagree.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+
+def _normalize(sql: str) -> str:
+    return re.sub(r"\s+", " ", sql).strip()
+
+
+def test_fingerprint_spelling_matches_textstats():
+    from etl_sales_pandas_sqlserver_spark.functions.funnel import _STAGED_CTE
+    from etl_sales_pandas_sqlserver_spark.functions.textstats import (
+        FINGERPRINT_SQL,
+    )
+
+    key = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+    assert key in _normalize(FINGERPRINT_SQL)
+    assert key in _normalize(_STAGED_CTE)
+
+
+def test_token_gate_shared_with_capstone():
+    """The SQL embeds traindata._MIN_TOKENS via f-string, so the gate
+    is structurally shared; pin the rendered form anyway so a move to
+    a literal would fail loudly."""
+    from etl_sales_pandas_sqlserver_spark.functions.funnel import (
+        FUNNEL_STAGES_SQL,
+    )
+    from etl_sales_pandas_sqlserver_spark.functions.traindata import (
+        _MIN_TOKENS,
+    )
+
+    assert f"WHEN r.n_tok < {_MIN_TOKENS} THEN 2" in _normalize(
+        FUNNEL_STAGES_SQL
+    )
+
+
+@pytest.fixture(scope="module")
+def staged_corpus(tmp_path_factory) -> str:
+    """Seven docs with a known stage each, exercising the first-fail
+    priority: doc 21 is BOTH a duplicate and too short (dup wins),
+    doc 3 text-equals eval doc 10 (jaccard 1.0 -> contaminated)."""
+    docs = [
+        # (doc_id, text, expected stage)
+        (10, "shared eval text one two three", "eval_holdout"),
+        (1, "dup text here alpha beta gamma", "kept_first"),  # rn == 1
+        (11, "dup text here alpha beta gamma", "exact_dup"),
+        (2, "tiny doc", "too_short"),
+        (21, "tiny doc", "exact_dup"),  # dup AND short: dup wins
+        (3, "shared eval text one two three", "contaminated"),
+        (4, "perfectly fine unique document with many tokens", "kept"),
+    ]
+    d = tmp_path_factory.mktemp("funnel_sf")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t, _ in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(
+                ["src_a" if i % 2 else "src_b" for i, _, _ in docs],
+                pa.string(),
+            ),
+            "n_chars": pa.array([len(t) for _, t, _ in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_first_fail_attribution_and_telescoping(spark, staged_corpus):
+    from etl_sales_pandas_sqlserver_spark.functions.funnel import (
+        q_funnel_stages,
+    )
+
+    rows = {
+        r.stage: r for r in q_funnel_stages(spark, staged_corpus).collect()
+    }
+    assert rows["eval_holdout"].n_docs == 1
+    assert rows["exact_dup"].n_docs == 2  # docs 11 and 21 (priority)
+    assert rows["too_short"].n_docs == 1  # doc 2 only
+    assert rows["contaminated"].n_docs == 1  # doc 3
+    assert rows["kept"].n_docs == 2  # docs 1 and 4
+
+    # telescoping: docs_in chains by n_docs in stage order, starting
+    # at the full corpus and ending with kept == its own docs_in
+    ordered = sorted(rows.values(), key=lambda r: r.stage_order)
+    assert ordered[0].docs_in == 7
+    for prev, cur in zip(ordered, ordered[1:]):
+        assert cur.docs_in == prev.docs_in - prev.n_docs
+    assert ordered[-1].stage == "kept"
+    assert ordered[-1].docs_in == ordered[-1].n_docs
+    assert ordered[-1].ppm_of_in == 1_000_000
+
+
+def test_kept_equals_capstone_census(spark, sf_small):
+    """The funnel's ``kept`` totals must equal the final census of
+    corpus_curation_pipeline on the same corpus — identical survivor
+    set by construction, pinned end-to-end."""
+    from etl_sales_pandas_sqlserver_spark.functions.funnel import (
+        q_funnel_stages,
+    )
+    from etl_sales_pandas_sqlserver_spark.functions.traindata import (
+        q_corpus_curation,
+    )
+
+    kept = (
+        q_funnel_stages(spark, sf_small)
+        .filter(F.col("stage") == "kept")
+        .collect()[0]
+    )
+    census = q_corpus_curation(spark, sf_small).agg(
+        F.sum("n_docs").alias("n")
+    ).collect()[0]
+    assert kept.n_docs == census.n
+
+
+def test_by_source_sums_to_global(spark, sf_small):
+    from etl_sales_pandas_sqlserver_spark.functions.funnel import (
+        q_funnel_by_source,
+        q_funnel_stages,
+    )
+
+    g = {
+        (r.stage_order, r.stage): (r.n_docs, r.tokens)
+        for r in q_funnel_stages(spark, sf_small).collect()
+    }
+    s = (
+        q_funnel_by_source(spark, sf_small)
+        .groupBy("stage_order", "stage")
+        .agg(F.sum("n_docs").alias("n"), F.sum("tokens").alias("t"))
+        .collect()
+    )
+    assert {(r.stage_order, r.stage): (r.n, r.t) for r in s} == g

@@ -108,6 +108,11 @@ _AFFECTED = [
     # r13: streaming card ingest -- the \s+ token-count grain on
     # unicode/empty docs must agree through the streaming path too
     "stream_dataset_card_ingest",
+    # r13: the curation funnel -- first-fail attribution must agree on
+    # empty/unicode docs across the fingerprint, token-count, and
+    # shingle grains at once
+    "curation_funnel_stages",
+    "curation_funnel_by_source",
 ]
 
 

@@ -88,6 +88,12 @@ FAMILIES: dict[str, list[str]] = {
     # is one row per source; 10x docs must cost ~10x scan, the state
     # store must not grow with volume
     "stream_card": ["stream_dataset_card_ingest"],
+    # round-13: the curation funnel — one corpus pass + the dedup
+    # fingerprint window + the decontaminate inverted-index join; 10x
+    # docs (and ~10x fingerprint groups / shingle postings from the
+    # suffixed replicas) must cost ~10x, with the stage agg fixed at
+    # 5 output rows
+    "funnel": ["curation_funnel_stages"],
 }
 
 #: round-8: hot-key families, run against the SKEWED 10x events
