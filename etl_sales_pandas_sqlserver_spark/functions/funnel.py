@@ -12,9 +12,13 @@ removed, and how many entered it.
 
 Single-pass shape, not a per-stage re-run: every document is attributed
 to the FIRST stage that rejects it (or ``kept``) in one projection —
-one corpus scan feeding the dedup fingerprint window (the exact-dedup
-primitive's shuffle), one membership join against the decontamination
-set (inverted-index build, eval side tiny — AQE broadcasts it), then a
+one corpus scan feeding a keep-first test spelled as a map-side-
+combinable ``min(doc_id)`` per fingerprint plus a null-safe join back
+(skew-immune where a ``row_number`` window is not: AQE splits a hot
+join partition but can never split a window partition, and a
+boilerplate fingerprint with millions of copies is a REALISTIC hot
+key), one membership join against the decontamination set
+(inverted-index build, eval side tiny — AQE broadcasts it), then a
 hash aggregate keyed by the FIXED 5-value stage domain, map-side
 combined to <= 5 rows per task. The docs-entering arithmetic runs as a
 window over that <= 5-row frame (the bounded single-partition class of
@@ -77,8 +81,21 @@ def _staged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens_spark().alias("n_tok"),
         fingerprint_col().alias("fingerprint"),
     )
-    w = Window.partitionBy("fingerprint").orderBy("doc_id")
-    ranked = pool.withColumn("rn", F.row_number().over(w))
+    # keep-first as a MIN-AGG + join, not a row_number window: a
+    # boilerplate fingerprint with 10^9 copies would funnel a window
+    # partition through one task (AQE cannot split a window), while
+    # the min() partial-aggregates map-side and AQE skew-splits the
+    # sort-merge join back. Null-safe key: null-text docs share the
+    # null fingerprint group, exactly like the oracle's PARTITION BY.
+    # rn > 1  <=>  doc_id > min(doc_id) over the group.
+    firsts = pool.groupBy(F.col("fingerprint").alias("fp")).agg(
+        F.min("doc_id").alias("first_id")
+    )
+    ranked = pool.join(
+        firsts, F.col("fingerprint").eqNullSafe(F.col("fp")), "inner"
+    ).withColumn(
+        "rn", F.when(F.col("doc_id") == F.col("first_id"), 1).otherwise(2)
+    )
     contaminated = (
         q_decontaminate(spark, sf_dir)
         .select(F.col("train_id").alias("doc_id"))
