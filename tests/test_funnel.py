@@ -131,6 +131,82 @@ def test_kept_equals_capstone_census(spark, sf_small):
     assert kept.n_docs == census.n
 
 
+def test_null_doc_id_vanishes_identically_on_both_engines(
+    spark, tmp_path
+):
+    """A null ``doc_id`` fails BOTH residue filters (``% 10`` is null),
+    so the document is attributed to no stage at all — on both engines
+    (the dedup/decontaminate families share this property, it is the
+    %-filter idiom's semantics). Pin it cross-engine so a refactor to
+    null-keeping filters cannot drift one side silently."""
+    import duckdb
+
+    from etl_sales_pandas_sqlserver_spark.functions.funnel import (
+        FUNNEL_STAGES_SQL,
+        q_funnel_stages,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, None, 4], pa.int64()),
+            "text": pa.array(
+                ["one two three four five"] * 3, pa.string()
+            ),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "source": pa.array(["s"] * 3, pa.string()),
+            "n_chars": pa.array([23] * 3, pa.int64()),
+        }
+    )
+    d = tmp_path / "nullid"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    got = q_funnel_stages(spark, str(d)).collect()
+    # the three texts are identical: doc 1 keeps first, doc 4 is the
+    # dup, the null-id doc is in neither count
+    assert sum(r.n_docs for r in got) == 2
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{d / 'documents.parquet'}'"
+    )
+    odf = con.execute(FUNNEL_STAGES_SQL).df()
+    assert int(odf["n_docs"].sum()) == 2
+    assert {r.stage: r.n_docs for r in got} == dict(
+        zip(odf["stage"], odf["n_docs"].astype(int))
+    )
+
+
+def test_keep_first_plans_no_window_before_stage_agg(spark, sf_small):
+    """The skew-immunity pin: dup attribution must plan as an
+    aggregate + join, NEVER a per-fingerprint window (AQE can split a
+    hot join partition but not a window partition, and a boilerplate
+    fingerprint with millions of copies is a realistic hot key). The
+    only Window allowed in the stages plan is the docs-entering
+    arithmetic, which must sit on the single-partition exchange fed by
+    the bounded 5-value stage aggregate."""
+    from etl_sales_pandas_sqlserver_spark.functions.funnel import (
+        q_funnel_by_source,
+        q_funnel_stages,
+    )
+
+    by_source = q_funnel_by_source(spark, sf_small)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Window" not in by_source, (
+        "keep-first regressed to a window form"
+    )
+
+    stages = q_funnel_stages(spark, sf_small)._jdf.queryExecution(
+    ).executedPlan().toString()
+    lines = stages.splitlines()
+    sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert len(sp) == 1, "extra global funnel appeared"
+    # plan prints children below parents: the exchange's input is the
+    # stage-keyed aggregate (fixed 5-value domain)
+    assert "HashAggregate(keys=[stage_order" in lines[sp[0] + 1]
+
+
 def test_by_source_sums_to_global(spark, sf_small):
     from etl_sales_pandas_sqlserver_spark.functions.funnel import (
         q_funnel_by_source,

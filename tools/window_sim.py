@@ -1,0 +1,74 @@
+"""Simulate the driver's 50-query correctness window at HEAD.
+
+Every round's slot arithmetic (own-changed/new first, then
+oldest-green-first drains) has been re-derived inline; this commits
+the simulation so the budget check is one command:
+
+    python tools/window_sim.py [window_size]
+
+Prints the window's vintage composition, the fronted (new/own-changed)
+queries, and — the planning number — how many of the OLDEST cohort
+fall outside the window (must be 0 before registering another query,
+or the drain the verdict demands slips a round).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WINDOW = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+
+
+def main() -> int:
+    from etl_sales_pandas_sqlserver_spark.plans.rotation import (
+        load_manifest,
+        ordered_names,
+    )
+    from etl_sales_pandas_sqlserver_spark.plans.testdata_queries import (
+        QUERIES,
+    )
+
+    order = ordered_names(QUERIES)
+    man = load_manifest()
+    window, rest = order[:WINDOW], order[WINDOW:]
+
+    def vintage(name: str) -> str:
+        e = man.get(name)
+        return "new" if e is None else f"r{e['last_green_round']}"
+
+    comp = Counter(vintage(n) for n in window)
+    print(f"registry: {len(order)} queries; window: {WINDOW}")
+    print("window vintages:", dict(sorted(comp.items())))
+    fronted = [n for n in window if n not in man]
+    if fronted:
+        print(f"never-verified (new) in window [{len(fronted)}]:",
+              ", ".join(fronted))
+
+    outside = Counter(vintage(n) for n in rest)
+    print("outside window:", dict(sorted(outside.items())))
+    oldest = min(
+        (e["last_green_round"] for e in man.values()), default=None
+    )
+    if oldest is not None:
+        stranded = [
+            n for n in rest
+            if n in man and man[n]["last_green_round"] == oldest
+        ]
+        print(
+            f"oldest cohort r{oldest} stranded outside window: "
+            f"{len(stranded)}"
+            + (f" — {', '.join(stranded)}" if stranded else "")
+        )
+        if stranded:
+            print("WARNING: the oldest cohort no longer drains this "
+                  "round; remove/verify own-changed queries first")
+            return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
