@@ -5,9 +5,9 @@ FINAL census of its four-stage chain (eval holdout -> exact dedup ->
 token-length gate -> benchmark decontamination). The operational
 artifact every large-scale curation pipeline also publishes — the
 FineWeb/RefinedWeb-style filtering report, and the descendant of the
-reference's valid/invalid split-with-Reason audit (main.py:85-147,
+reference's valid/invalid split-with-Reason audit (main.py:106-147,
 where every dropped row is attributed to the FIRST rule that rejected
-it) — is the per-stage funnel: how many documents and tokens each gate
+it: N > A > D) — is the per-stage funnel: how many documents and tokens each gate
 removed, and how many entered it.
 
 Single-pass shape, not a per-stage re-run: every document is attributed
