@@ -134,10 +134,17 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_agg("user_id", F.lit(_LG_K))
         ).alias("direct_est"),
     )
+    # null-safe key: a NULL event_type forms a group in BOTH engines'
+    # GROUP BY, and the oracle keeps it -- a plain equi join here would
+    # silently drop that group (r13 hostile-events audit; same fix
+    # class as the Misra-Gries exact-recount semi join)
     return (
-        rolled.join(direct, "event_type")
+        rolled.join(
+            direct,
+            rolled["event_type"].eqNullSafe(direct["event_type"]),
+        )
         .select(
-            "event_type",
+            rolled["event_type"],
             "exact_users",
             _est_ok(F.col("rollup_est"), F.col("exact_users")).alias("est_ok"),
             (F.col("rollup_est") == F.col("direct_est")).alias(

@@ -313,7 +313,11 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Sessionization: gap > 30 min starts a new session (lag + conditional
 # cumsum). Two windows over the same (user_id, ts) partitioning -> ONE
-# shuffle; Spark reuses the sort.
+# shuffle; Spark reuses the sort. Clock-less events (NULL ts) are NOT
+# sessionizable and are excluded EXPLICITLY on both engines -- without
+# the filter they sort to opposite ends of the window (Spark orders
+# NULLS FIRST, DuckDB NULLS LAST) and session boundaries diverge
+# (r13 hostile-events audit, tests/test_hostile_events.py).
 # ---------------------------------------------------------------------------
 
 _SESSIONIZE_SQL = """
@@ -324,6 +328,7 @@ _SESSIONIZE_SQL = """
                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 THEN 1 ELSE 0 END AS new_session
     FROM events
+    WHERE ts IS NOT NULL
   ),
   sessions AS (
     SELECT user_id,
@@ -340,7 +345,9 @@ _SESSIONIZE_SQL = """
 
 
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # microsecond-exact gap math (cast-to-long would truncate to
     # seconds and disagree with the oracle on 30:00.xx gaps);

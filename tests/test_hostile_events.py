@@ -1,0 +1,173 @@
+"""Hostile event rows: NULL timestamps, user ids, types, values.
+
+The r13 audit of all 24 batch events consumers against a poisoned
+corpus (2 null-ts, 2 null-user, 1 null-type, 1 null-value/props rows)
+found three tiers, mirrors of the embeddings audit
+(test_hostile_embeddings.py):
+
+1. **Robust**: most consumers stay Spark==DuckDB green — null keys
+   group identically, null values drop out of SUM/AVG identically,
+   and the 1h sliding windows order by a never-null derived bucket.
+   Pinned parametrized below.
+
+2. **Fixed in r13** (both were r9-vintage, already re-verifying this
+   window, so the fix cost zero rotation slots):
+   ``sessionize_events`` now excludes clock-less events explicitly on
+   both engines (un-filtered, a NULL ts sorts NULLS FIRST in Spark but
+   NULLS LAST in DuckDB and session boundaries diverge);
+   ``sketch_rollup_distinct_users`` joins its rollup and direct legs
+   null-safely (a plain equi join dropped the NULL-event_type group
+   the oracle's GROUP BY keeps).
+
+3. **Known, documented divergences, deferred** (the \\x0B pattern —
+   all five are r11/r12-vintage, so a fix would evict r9 drains from
+   the r13 window; they become zero-slot fixes when their cohorts
+   drain in r14/r15): the lag/lead/rows-window families order by a
+   nullable ts (``window_event_deltas``, ``window_moving_avg_7``,
+   ``window_zscore_anomaly``, ``window_first_last_touch``) and the
+   as-of join's ordering sees the same NULLS FIRST/LAST split
+   (``asof_join_clicks_purchases``). Latent-only: the tripwire below
+   asserts driver events carry no NULL ts/user_id/event_type at any
+   scale. The respell (explicit ``ts IS NOT NULL`` or ``NULLS FIRST``
+   on both engines) is recorded in NOTES_r13.md.
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+
+import duckdb
+import pytest
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "documents", "embeddings",
+]
+
+_ROBUST = [
+    "approx_distinct_users",
+    "asof_join_tolerance",
+    "cohort_retention_weekly",
+    "events_json_extract",
+    "funnel_view_click_purchase",
+    "heavy_hitters_users",
+    "partition_pruned_day_load",
+    "range_join_event_pairs",
+    "sketch_cms_user_hits_contract",
+    "sketch_daily_distinct_users",
+    "skew_salted_user_counts",
+    "time_bucket_rollup",
+    "timeseries_gapfill_hourly",
+    "window_distinct_types_1h",
+    "window_distinct_types_1h_chunked",
+    "window_distinct_types_1h_hybrid",
+    "window_range_1h_load",
+    # fixed this round (tier 2):
+    "sessionize_events",
+    "sketch_rollup_distinct_users",
+]
+
+_KNOWN_DIVERGENT = [
+    "asof_join_clicks_purchases",
+    "window_event_deltas",
+    "window_first_last_touch",
+    "window_moving_avg_7",
+    "window_zscore_anomaly",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_events_sf(sf_small, tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("hostile_events")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{sf_small}/events.parquet'
+          UNION ALL SELECT 100001, NULL::TIMESTAMP, 7, 'view', 1.5, '{{}}'
+          UNION ALL SELECT 100002, NULL::TIMESTAMP, 8, 'click', 2.5, '{{}}'
+          UNION ALL SELECT 100003, TIMESTAMP '2024-03-02 05:00:00',
+                           NULL, 'view', 1.0, '{{}}'
+          UNION ALL SELECT 100004, TIMESTAMP '2024-03-02 06:00:00',
+                           NULL, 'purchase', 3.0, '{{}}'
+          UNION ALL SELECT 100005, TIMESTAMP '2024-03-02 07:00:00',
+                           9, NULL, 4.0, '{{}}'
+          UNION ALL SELECT 100006, TIMESTAMP '2024-03-02 08:00:00',
+                           10, 'view', NULL, NULL
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in _TABLES:
+        shutil.copy(f"{sf_small}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in _TABLES + ["events"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con.execute(sql).df()
+
+
+def _canon(df):
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    return sorted(
+        [
+            tuple(
+                None if (isinstance(v, float) and math.isnan(v)) else v
+                for v in r
+            )
+            for r in df.itertuples(index=False)
+        ],
+        key=str,
+    )
+
+
+@pytest.mark.parametrize("name", _ROBUST)
+def test_null_rows_stay_oracle_green(spark, hostile_events_sf, name):
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, hostile_events_sf).toPandas()
+    odf = _oracle(e.oracle_sql()[name], hostile_events_sf)
+    assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+    assert _canon(sdf) == _canon(odf), name
+
+
+@pytest.mark.parametrize("name", _KNOWN_DIVERGENT)
+def test_null_ts_is_a_known_divergence(spark, hostile_events_sf, name):
+    """Tier 3 pin: these DO diverge on null ts today (NULLS FIRST vs
+    NULLS LAST window ordering). When a respell lands, this test flips
+    loudly and the query moves to the _ROBUST list."""
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, hostile_events_sf).toPandas()
+    odf = _oracle(e.oracle_sql()[name], hostile_events_sf)
+    assert len(sdf) != len(odf) or _canon(sdf) != _canon(odf), (
+        f"{name} now agrees on null ts — move it to _ROBUST and drop "
+        "the stale divergence note"
+    )
+
+
+def test_testdata_events_have_no_null_keys():
+    """Tripwire (the no-\\x0B pattern): the tier-3 divergences stay
+    latent ONLY while driver events carry no NULL ts/user_id/
+    event_type. Fires before any oracle mismatch can confuse a
+    round."""
+    import glob
+
+    con = duckdb.connect()
+    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert dirs, "driver testdata missing"
+    for d in dirs:
+        bad = con.execute(
+            f"""
+            SELECT count(*) FROM '{d}/events.parquet'
+            WHERE ts IS NULL OR user_id IS NULL OR event_type IS NULL
+            """
+        ).fetchone()[0]
+        assert bad == 0, f"{d}: {bad} events with null key columns"
