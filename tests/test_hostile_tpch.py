@@ -1,0 +1,193 @@
+"""Hostile TPC-H rows: NULLs through the join/window/agg families.
+
+Third table audit of r13 (documents had one since r8; embeddings and
+events got theirs this round). A full 185-query sweep against
+orders/lineitem/customer poisoned with null keys, dates, prices,
+statuses and names came back **180 green / 5 divergent**:
+
+- Robust (pinned on a representative slice below): null join keys drop
+  identically from equi/semi/anti joins on both engines, null measures
+  drop from SUM/AVG/decimal accumulations identically, null group keys
+  form the same groups, and the sales pipeline's synth_sales_raw
+  already models null propagation (Layer A's whole design).
+
+- Known divergences, all five r11/r12-vintage (fixing now would evict
+  r9 drains from the r13 window; each becomes a ZERO-SLOT fix when its
+  cohort drains — r11 in r14's window, r12 in r15's; see NOTES_r13.md):
+  ``decile_stats_order_price``, ``dedup_keep_first``,
+  ``scd2_customer_versions``, ``status_run_histogram``,
+  ``temporal_dim_join_segments`` — every one is the nullable-ORDER-BY
+  class (Spark windows default NULLS FIRST, DuckDB NULLS LAST), the
+  same root cause as the five deferred events divergences.
+
+- Tripwire: driver orders/lineitem/customer (and the other TPC-H
+  tables) carry ZERO nulls in ANY column at every sf — verified
+  exhaustively, so the divergences are latent until the data changes,
+  and this fires first.
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+
+import duckdb
+import pytest
+
+_COPY = ["region", "nation", "supplier", "part",
+         "events", "documents", "embeddings"]
+
+#: representative robust slice: every family that touches the poisoned
+#: columns (joins on null keys, aggs over null measures, windows over
+#: never-null derived keys, the sales ETL built from poisoned lineitem)
+_ROBUST = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_top_revenue",
+    "tpch_q4_priority_count",
+    "tpch_q13_order_count_dist",
+    "tpch_q18_large_volume_customers",
+    "join_anti_customers_without_orders",
+    "join_semi_customers_with_orders",
+    "join_broadcast_region_acctbal",
+    "window_top_orders_per_customer",
+    "window_relative_standing",
+    "percentiles_by_segment",
+    "pivot_order_status",
+    "unpivot_status_revenue",
+    "grouping_sets_revenue",
+    "cube_region_status",
+    "rollup_region_nation",
+    "merge_upsert_orders",
+    "stats_corr_qty_price",
+    "sql_region_year_revenue",
+    "set_except_custkeys",
+    "set_intersect_all_custkeys",
+    "clean_valid_sales",
+    "categorize_invalid_sales",
+    "monthly_summary",
+]
+
+_KNOWN_DIVERGENT = [
+    "decile_stats_order_price",
+    "dedup_keep_first",
+    "scd2_customer_versions",
+    "status_run_histogram",
+    "temporal_dim_join_segments",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_tpch_sf(sf_small, tmp_path_factory) -> str:
+    d = tmp_path_factory.mktemp("hostile_tpch")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{sf_small}/orders.parquet'
+          UNION ALL SELECT 9000001, 1, 'O', 1234.56,
+                           NULL::TIMESTAMP, '3-MEDIUM'
+          UNION ALL SELECT 9000002, NULL, 'F', 2345.67,
+                           TIMESTAMP '1995-06-15', '1-URGENT'
+          UNION ALL SELECT 9000003, 2, NULL, NULL,
+                           TIMESTAMP '1995-07-15', NULL
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{sf_small}/lineitem.parquet'
+          UNION ALL SELECT 9000001, 1, 1, 1, NULL, 100.0, 0.05, 0.02,
+                           'N', 'O', NULL::TIMESTAMP
+          UNION ALL SELECT 9000002, 2, 2, 1, 5.0, NULL, NULL, NULL,
+                           NULL, NULL, TIMESTAMP '1995-06-20'
+        ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM '{sf_small}/customer.parquet'
+          UNION ALL SELECT 9000001, NULL, 1, NULL, NULL
+        ) TO '{d}/customer.parquet' (FORMAT PARQUET)
+        """
+    )
+    for t in _COPY:
+        shutil.copy(f"{sf_small}/{t}.parquet", str(d / f"{t}.parquet"))
+    return str(d)
+
+
+def _oracle(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in _COPY + ["orders", "lineitem", "customer"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con.execute(sql).df()
+
+
+def _canon(df):
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    df = df[sorted(df.columns)]
+    return sorted(
+        [
+            tuple(
+                None if (isinstance(v, float) and math.isnan(v)) else v
+                for v in r
+            )
+            for r in df.itertuples(index=False)
+        ],
+        key=str,
+    )
+
+
+@pytest.mark.parametrize("name", _ROBUST)
+def test_null_rows_stay_oracle_green(spark, hostile_tpch_sf, name):
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, hostile_tpch_sf).toPandas()
+    odf = _oracle(e.oracle_sql()[name], hostile_tpch_sf)
+    assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+    assert _canon(sdf) == _canon(odf), name
+
+
+@pytest.mark.parametrize("name", _KNOWN_DIVERGENT)
+def test_nullable_order_by_is_a_known_divergence(
+    spark, hostile_tpch_sf, name
+):
+    """These DO diverge on null sort keys today (NULLS FIRST vs NULLS
+    LAST). A respell (explicit null exclusion or NULLS FIRST on both
+    engines) flips this test loudly — then move the query to _ROBUST."""
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, hostile_tpch_sf).toPandas()
+    odf = _oracle(e.oracle_sql()[name], hostile_tpch_sf)
+    assert len(sdf) != len(odf) or _canon(sdf) != _canon(odf), (
+        f"{name} now agrees on null sort keys — move it to _ROBUST"
+    )
+
+
+def test_testdata_tpch_tables_have_no_nulls():
+    """Tripwire: the deferred divergences stay latent only while the
+    driver TPC-H tables are null-free in EVERY column."""
+    import glob
+
+    con = duckdb.connect()
+    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert dirs, "driver testdata missing"
+    for d in dirs:
+        for t in ("orders", "lineitem", "customer",
+                  "supplier", "part", "nation", "region"):
+            p = f"{d}/{t}.parquet"
+            cols = [
+                r[0]
+                for r in con.execute(
+                    f"DESCRIBE SELECT * FROM '{p}'"
+                ).fetchall()
+            ]
+            pred = " OR ".join(f"{c} IS NULL" for c in cols)
+            bad = con.execute(
+                f"SELECT count(*) FROM '{p}' WHERE {pred}"
+            ).fetchone()[0]
+            assert bad == 0, f"{p}: {bad} rows with nulls"
