@@ -63,6 +63,17 @@ _ROBUST = [
 ]
 
 
+@pytest.fixture(autouse=True)
+def _driver_ansi(spark):
+    """Run this module under DRIVER conditions (Spark 4 default = ANSI
+    ON): the engine's tuned test session sets ansi=false, and hostile-
+    input behavior can be ANSI-sensitive. Restore after."""
+    before = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield
+    spark.conf.set("spark.sql.ansi.enabled", before)
+
+
 def _poisoned_dir(sf_small, tmp_path_factory, poison: str) -> str:
     tbl = pq.read_table(f"{sf_small}/embeddings.parquet")
     dim = len(tbl.column("embedding")[0])

@@ -76,6 +76,17 @@ _KNOWN_DIVERGENT = [
 ]
 
 
+@pytest.fixture(autouse=True)
+def _driver_ansi(spark):
+    """Run this module under DRIVER conditions (Spark 4 default = ANSI
+    ON): the engine's tuned test session sets ansi=false, and hostile-
+    input behavior can be ANSI-sensitive. Restore after."""
+    before = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    yield
+    spark.conf.set("spark.sql.ansi.enabled", before)
+
+
 @pytest.fixture(scope="module")
 def hostile_tpch_sf(sf_small, tmp_path_factory) -> str:
     d = tmp_path_factory.mktemp("hostile_tpch")
