@@ -164,6 +164,64 @@ def test_null_ts_is_a_known_divergence(spark, hostile_events_sf, name):
     )
 
 
+#: streaming tier — same poisoned corpus through the file-stream path.
+#: Robust: complete-mode aggs and joins whose keys/values null-group
+#: identically to their batch oracles.
+_STREAM_ROBUST = [
+    "stream_dataset_card_ingest",
+    "stream_dedup_keys",
+    "stream_static_join_nation",
+    "stream_stream_join_attrib",
+    "stream_upsert_latest",
+]
+
+#: Known divergent/crash: a WATERMARKED aggregation drops null
+#: event-time rows BY DEFINITION (Spark's watermark semantics) while
+#: the batch GROUP BY oracle keeps their groups — the row deltas on
+#: the poisoned corpus are exactly the null-ts rows' groups; the
+#: stateful sessionizer raises from applyInPandasWithState on a null
+#: ts. All r10/r11-vintage: the respell (align the batch oracle with
+#: ``WHERE ts IS NOT NULL``, which IS the watermark's semantics, and
+#: guard the stateful kernel) is a zero-slot fix in the round their
+#: cohort drains (NOTES_r13.md).
+_STREAM_KNOWN_NOT_GREEN = [
+    "stream_hourly_agg",
+    "stream_session_window_native",
+    "stream_sessionize_stateful",
+    "stream_sketch_daily_users",
+    "stream_sliding_2h",
+    "stream_topk_types_per_hour",
+]
+
+
+@pytest.mark.parametrize("name", _STREAM_ROBUST)
+def test_streaming_null_rows_stay_oracle_green(
+    spark, hostile_events_sf, name
+):
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, hostile_events_sf).toPandas()
+    odf = _oracle(e.oracle_sql()[name], hostile_events_sf)
+    assert len(sdf) == len(odf), (name, len(sdf), len(odf))
+    assert _canon(sdf) == _canon(odf), name
+
+
+@pytest.mark.parametrize("name", _STREAM_KNOWN_NOT_GREEN)
+def test_streaming_null_ts_known_not_green(spark, hostile_events_sf, name):
+    """Uniform NOT-green pin (crash or watermark-vs-batch mismatch).
+    A fix flips this loudly — then move the query to _STREAM_ROBUST."""
+    import __spark_entry__ as e
+
+    try:
+        sdf = e.queries()[name](spark, hostile_events_sf).toPandas()
+    except Exception:
+        return  # crash: loud, counted as pinned
+    odf = _oracle(e.oracle_sql()[name], hostile_events_sf)
+    assert len(sdf) != len(odf) or _canon(sdf) != _canon(odf), (
+        f"{name} now agrees on null ts — move it to _STREAM_ROBUST"
+    )
+
+
 def test_testdata_events_have_no_null_keys():
     """Tripwire (the no-\\x0B pattern): the tier-3 divergences stay
     latent ONLY while driver events carry no NULL ts/user_id/
