@@ -63,3 +63,168 @@ def test_kmeans_quantizer_matches_exact_math(con, x):
 
     want = math.floor(Fraction(float(x32)) * _Q)
     assert got == want, (x32, got, want)
+
+
+# ---------------------------------------------------------------------------
+# r13: the two PAIRED text spellings every oracle family leans on --
+# the whitespace token count (functions/tokcount.py) and the dedup
+# fingerprint key md5(lower(trim(regexp_replace(text,'\s+',' ')))).
+# Both run through Spark AND DuckDB here (batched: one Spark job per
+# hypothesis example), because the hazard is CROSS-ENGINE drift.
+#
+# Known divergences, excluded from the property and pinned exactly
+# (each discovered by the probes below, each latent in the driver
+# testdata and tripwired):
+# - U+000B: Java \s includes it, RE2 does not (tokcount.py docstring,
+#   tests/test_tokcount.py).
+# - lower(): 71 codepoints where the JVM and utf8proc disagree --
+#   U+0130 (Turkish dotted capital I: Java -> 'i'+U+0307, DuckDB ->
+#   'i') plus 70 letters cased in newer Unicode versions than
+#   DuckDB's utf8proc tables know (Latin Extended A7Cx/A7Dx/A7F5,
+#   Cyrillic 1C89, Glagolitic 2C2F, Vithkuqi 105xx, Garay 10D5x) --
+#   Java lowercases them, DuckDB passes them through.
+# - trim(): DuckDB strips the WHOLE Zs space-separator category at
+#   the edges (U+00A0 NBSP, U+1680, U+2000-200A, U+202F, U+205F,
+#   U+3000); Spark strips only ASCII 0x20 -- a document edged with an
+#   NBSP fingerprints (and, with an inner \s run adjacent, token-
+#   counts) differently.
+# The full-Unicode enumerations below pin the EXACT sets, so a
+# pyspark or duckdb upgrade that shifts either engine's Unicode
+# tables fails loudly here instead of as a driver hash mismatch.
+# ---------------------------------------------------------------------------
+
+#: every codepoint where Spark's lower() != DuckDB's lower(),
+#: enumerated over the full Unicode range (r13)
+_LOWER_DIVERGENT = (
+    [0x0130, 0x1C89, 0x2C2F, 0xA7C0, 0xA7C7, 0xA7C9, 0xA7CB, 0xA7CC,
+     0xA7D0, 0xA7D6, 0xA7D8, 0xA7DA, 0xA7DC, 0xA7F5]
+    + [c for c in range(0x10570, 0x10596) if c not in (0x1057B, 0x1058B, 0x10593)]
+    + list(range(0x10D50, 0x10D66))
+)
+
+#: every codepoint where Spark's trim() != DuckDB's trim() at string
+#: edges: Unicode Zs minus ASCII space (r13)
+_TRIM_DIVERGENT = [
+    0x00A0, 0x1680, 0x2000, 0x2001, 0x2002, 0x2003, 0x2004, 0x2005,
+    0x2006, 0x2007, 0x2008, 0x2009, 0x200A, 0x202F, 0x205F, 0x3000,
+]
+
+_CLEAN_TEXT = st.text(
+    alphabet=st.characters(
+        blacklist_characters=(
+            [chr(c) for c in _LOWER_DIVERGENT + _TRIM_DIVERGENT] + ["\x0b"]
+        ),
+        blacklist_categories=("Cs",),
+    ),
+    max_size=50,
+)
+
+
+@pytest.fixture(scope="module")
+def spark_probe():
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def test_lower_divergent_codepoints_are_exactly_the_known_set(
+    spark_probe, con
+):
+    """Full-Unicode enumeration: the set of codepoints where the two
+    engines' lower() disagree must be EXACTLY the pinned list. An
+    engine upgrade that grows or shrinks it fails here first."""
+    from pyspark.sql import functions as F
+
+    chars = [
+        chr(c) for c in range(0x20, 0x110000) if not (0xD800 <= c <= 0xDFFF)
+    ]
+    sdf = spark_probe.createDataFrame([(c,) for c in chars], "t string")
+    sl = [r[0] for r in sdf.select(F.lower("t")).collect()]
+    dl = [
+        r[0]
+        for r in con.execute(
+            "SELECT lower(t) FROM (SELECT unnest(?) AS t)", [chars]
+        ).fetchall()
+    ]
+    diff = sorted(ord(c) for c, a, b in zip(chars, sl, dl) if a != b)
+    assert diff == sorted(_LOWER_DIVERGENT)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_CLEAN_TEXT, min_size=1, max_size=40))
+def test_token_and_fingerprint_spellings_agree_cross_engine(
+    spark_probe, con, batch
+):
+    """Outside the pinned exclusions, the paired token-count and
+    fingerprint spellings must agree on ARBITRARY unicode text."""
+    from pyspark.sql import functions as F
+
+    from etl_sales_pandas_sqlserver_spark.functions.tokcount import (
+        N_TOKENS_SQL,
+        n_tokens_spark,
+    )
+
+    sdf = spark_probe.createDataFrame([(t,) for t in batch], "text string")
+    srows = sdf.select(
+        "text",
+        n_tokens_spark().alias("n"),
+        F.md5(
+            F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+        ).alias("fp"),
+    ).collect()
+    orows = con.execute(
+        f"SELECT CAST({N_TOKENS_SQL} AS BIGINT) AS n, "
+        f"md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp "
+        f"FROM (SELECT unnest(?) AS text)",
+        [[r.text for r in srows]],
+    ).fetchall()
+    for r, (on, ofp) in zip(srows, orows):
+        assert r.n == on, (ascii(r.text), r.n, on)
+        assert r.fp == ofp, (ascii(r.text), "fingerprint diverged")
+
+
+def test_trim_divergent_codepoints_are_exactly_zs(spark_probe, con):
+    """Full-Unicode enumeration for trim(): the divergent edge set
+    must be exactly Zs minus ASCII space."""
+    from pyspark.sql import functions as F
+
+    chars = [
+        chr(c) for c in range(0x20, 0x110000) if not (0xD800 <= c <= 0xDFFF)
+    ]
+    probes = [c + "a" + c for c in chars]
+    sdf = spark_probe.createDataFrame([(p,) for p in probes], "t string")
+    sl = [r[0] for r in sdf.select(F.trim("t")).collect()]
+    dl = [
+        r[0]
+        for r in con.execute(
+            "SELECT trim(t) FROM (SELECT unnest(?) AS t)", [probes]
+        ).fetchall()
+    ]
+    diff = sorted(ord(p[0]) for p, a, b in zip(probes, sl, dl) if a != b)
+    assert diff == sorted(_TRIM_DIVERGENT)
+
+
+def test_testdata_documents_avoid_divergent_codepoints():
+    """Tripwire: the lower()/trim() divergences stay latent only while
+    driver documents carry none of the pinned codepoints."""
+    import glob
+
+    c2 = duckdb.connect()
+    pat = "[" + "".join(
+        chr(c) for c in _LOWER_DIVERGENT + _TRIM_DIVERGENT
+    ) + "]"
+    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert dirs, "driver testdata missing"
+    for d in dirs:
+        bad = c2.execute(
+            f"SELECT count(*) FROM '{d}/documents.parquet' "
+            f"WHERE regexp_matches(text, ?)",
+            [pat],
+        ).fetchone()[0]
+        assert bad == 0, f"{d}: {bad} docs with divergent codepoints"
