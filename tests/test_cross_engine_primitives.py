@@ -109,6 +109,35 @@ _TRIM_DIVERGENT = [
     0x2006, 0x2007, 0x2008, 0x2009, 0x200A, 0x202F, 0x205F, 0x3000,
 ]
 
+#: every codepoint where Spark's upper() != DuckDB's upper(): the JVM
+#: applies FULL special-casing expansions (sharp-s -> 'SS', ligatures
+#: -> letter pairs, Greek iota-subscript combinations) and newer
+#: Unicode case additions; utf8proc applies simple one-to-one maps.
+#: 172 codepoints, stored as inclusive ranges (r13). upper() touches
+#: only the sales-ETL pair (ASCII by construction) -- pinned so an
+#: accidental reuse of upper() in a document-text oracle pair gets a
+#: reference list to check against.
+_UPPER_DIVERGENT_RANGES = [
+    (0xDF, 0xDF), (0x149, 0x149), (0x19B, 0x19B), (0x1F0, 0x1F0),
+    (0x264, 0x264), (0x390, 0x390), (0x3B0, 0x3B0), (0x587, 0x587),
+    (0x1C8A, 0x1C8A), (0x1E96, 0x1E9A), (0x1F50, 0x1F50),
+    (0x1F52, 0x1F52), (0x1F54, 0x1F54), (0x1F56, 0x1F56),
+    (0x1F80, 0x1FAF), (0x1FB2, 0x1FB4), (0x1FB6, 0x1FB7),
+    (0x1FBC, 0x1FBC), (0x1FC2, 0x1FC4), (0x1FC6, 0x1FC7),
+    (0x1FCC, 0x1FCC), (0x1FD2, 0x1FD3), (0x1FD6, 0x1FD7),
+    (0x1FE2, 0x1FE4), (0x1FE6, 0x1FE7), (0x1FF2, 0x1FF4),
+    (0x1FF6, 0x1FF7), (0x1FFC, 0x1FFC), (0x2C5F, 0x2C5F),
+    (0xA7C1, 0xA7C1), (0xA7C8, 0xA7C8), (0xA7CA, 0xA7CA),
+    (0xA7CD, 0xA7CD), (0xA7D1, 0xA7D1), (0xA7D7, 0xA7D7),
+    (0xA7D9, 0xA7D9), (0xA7DB, 0xA7DB), (0xA7F6, 0xA7F6),
+    (0xFB00, 0xFB06), (0xFB13, 0xFB17), (0x10597, 0x105A1),
+    (0x105A3, 0x105B1), (0x105B3, 0x105B9), (0x105BB, 0x105BC),
+    (0x10D70, 0x10D85),
+]
+_UPPER_DIVERGENT = [
+    c for lo, hi in _UPPER_DIVERGENT_RANGES for c in range(lo, hi + 1)
+]
+
 _CLEAN_TEXT = st.text(
     alphabet=st.characters(
         blacklist_characters=(
@@ -208,6 +237,60 @@ def test_trim_divergent_codepoints_are_exactly_zs(spark_probe, con):
     ]
     diff = sorted(ord(p[0]) for p, a, b in zip(probes, sl, dl) if a != b)
     assert diff == sorted(_TRIM_DIVERGENT)
+
+
+def test_split_divergence_is_exactly_vertical_tab(spark_probe, con):
+    """Full-Unicode enumeration for the INTERIOR \\s+ split grain: the
+    only character Java's \\s matches and RE2's does not is U+000B --
+    the tokcount docstring's claim, now proven over every codepoint
+    (controls included) rather than asserted from one example."""
+    from pyspark.sql import functions as F
+
+    chars = [
+        chr(c)
+        for c in range(0x01, 0x110000)
+        if not (0xD800 <= c <= 0xDFFF)
+    ]
+    probes = ["a" + c + "b" for c in chars]
+    sdf = spark_probe.createDataFrame([(p,) for p in probes], "t string")
+    sl = [
+        r[0]
+        for r in sdf.select(F.size(F.split(F.col("t"), r"\s+"))).collect()
+    ]
+    dl = [
+        r[0]
+        for r in con.execute(
+            r"SELECT len(regexp_split_to_array(t, '\s+')) "
+            r"FROM (SELECT unnest(?) AS t)",
+            [probes],
+        ).fetchall()
+    ]
+    diff = [ord(p[1]) for p, a, b in zip(probes, sl, dl) if a != b]
+    assert diff == [0x0B]
+
+
+def test_upper_divergent_codepoints_are_exactly_the_known_set(
+    spark_probe, con
+):
+    """Full-Unicode enumeration for upper(), mirroring the lower()
+    pin."""
+    from pyspark.sql import functions as F
+
+    chars = [
+        chr(c)
+        for c in range(0x01, 0x110000)
+        if not (0xD800 <= c <= 0xDFFF)
+    ]
+    sdf = spark_probe.createDataFrame([(c,) for c in chars], "t string")
+    su = [r[0] for r in sdf.select(F.upper("t")).collect()]
+    du = [
+        r[0]
+        for r in con.execute(
+            "SELECT upper(t) FROM (SELECT unnest(?) AS t)", [chars]
+        ).fetchall()
+    ]
+    diff = sorted(ord(c) for c, a, b in zip(chars, su, du) if a != b)
+    assert diff == sorted(_UPPER_DIVERGENT)
 
 
 def test_testdata_documents_avoid_divergent_codepoints():
