@@ -311,3 +311,33 @@ def test_testdata_documents_avoid_divergent_codepoints():
             [pat],
         ).fetchone()[0]
         assert bad == 0, f"{d}: {bad} docs with divergent codepoints"
+
+
+def test_length_and_substr_agree_on_every_codepoint(spark_probe, con):
+    """Affirmative full-Unicode enumeration: length() and substr()
+    are codepoint-based in BOTH engines (no UTF-16 code-unit leakage
+    on astral characters) -- zero divergent codepoints. Completes the
+    text-primitive map: split (1 divergent char), trim (16), lower
+    (71), upper (172), length/substr (0)."""
+    from pyspark.sql import functions as F
+
+    chars = [
+        chr(c)
+        for c in range(0x01, 0x110000)
+        if not (0xD800 <= c <= 0xDFFF)
+    ]
+    probes = ["a" + c + "b" for c in chars]
+    sdf = spark_probe.createDataFrame([(p,) for p in probes], "t string")
+    rows = sdf.select(
+        F.length("t").alias("n"), F.substring("t", 2, 1).alias("m")
+    ).collect()
+    orows = con.execute(
+        "SELECT length(t), substr(t, 2, 1) FROM (SELECT unnest(?) AS t)",
+        [probes],
+    ).fetchall()
+    bad = [
+        ord(p[1])
+        for p, r, (on, om) in zip(probes, rows, orows)
+        if r.n != on or r.m != om
+    ]
+    assert bad == []
