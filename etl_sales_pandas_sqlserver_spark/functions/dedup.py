@@ -71,6 +71,18 @@ _SIMHASH_HAMMING = 20
 _HASH_MOD = 2_147_483_647
 _HASH_SHIFT = 2_147_483_648  # 2^31
 
+#: Explicit whitespace class for this module's TOKEN sites (r14
+#: respell, aligned with the r10-cohort drain): Java's ``\s`` (Spark)
+#: includes U+000B, RE2's (DuckDB) does not, so the two engines
+#: disagreed on vertical-tab documents. ``[ \t\n\f\r]+`` is the
+#: intersection — proven cross-engine-identical over every Unicode
+#: codepoint by tests/test_cross_engine_primitives.py::
+#: test_explicit_ws_class_has_zero_divergence. The remaining ``\s+``
+#: site in this module (EXACT_DEDUP_SQL's fingerprint, paired with
+#: textstats.fingerprint_col) respells with the textstats cohort's
+#: drain round — see NOTES_r14.md for the site-by-round table.
+_WS_CLASS = r"[ \t\n\f\r]+"
+
 # ---------------------------------------------------------------------------
 # Shared shingling (word 3-grams, distinct per doc)
 # ---------------------------------------------------------------------------
@@ -84,9 +96,9 @@ _SHINGLES_EXPR = """
   END
 """
 
-_SHINGLES_CTE = r"""
+_SHINGLES_CTE = rf"""
   toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    SELECT doc_id, regexp_split_to_array(trim(text), '{_WS_CLASS}') AS w
     FROM documents
   ),
   sh AS (
@@ -130,7 +142,7 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         return docs.select(
-            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+            "doc_id", F.split(F.trim(F.col("text")), _WS_CLASS).alias("w")
         ).select("doc_id", F.expr(_SHINGLES_EXPR).alias("s"))
 
     # the content tag in the key makes a same-session rewrite of the
@@ -763,7 +775,7 @@ def _simhash_sql() -> str:
     )
     return rf"""
   WITH simw AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    SELECT doc_id, regexp_split_to_array(trim(text), '{_WS_CLASS}') AS w
     FROM documents
   ),
   simth AS (
@@ -823,7 +835,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-sum aggregate below reuses that exchange (same clustering).
     toks = docs.select(
         "doc_id",
-        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+        F.posexplode(F.split(F.trim(F.col("text")), _WS_CLASS)).alias(
             "pos", "tok"
         ),
     )
@@ -1477,7 +1489,7 @@ _SPAN_TOKENS = 13
 
 REPEATED_SPANS_SQL = f"""
   WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    SELECT doc_id, regexp_split_to_array(trim(text), '{_WS_CLASS}') AS t
     FROM documents
   ),
   spans AS (
@@ -1513,7 +1525,7 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exploded = (
         docs.select(
-            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+            "doc_id", F.split(F.trim(F.col("text")), _WS_CLASS).alias("t")
         )
         .select("doc_id", F.explode(spans).alias("span_md5"))
     )

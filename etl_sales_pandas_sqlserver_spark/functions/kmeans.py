@@ -71,16 +71,24 @@ def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic is exact only for |x| <= 8 (|quantized| <= 2**23).
     # Outside it, Spark's non-ANSI int64 wraps SILENTLY while DuckDB
     # raises — assert_true turns that into a loud cross-engine error
-    # instead of a silent divergence (r9 advice). assert_true yields
-    # NULL when the predicate holds, so the coalesce adds 0.
+    # instead of a silent divergence (r9 advice). Structure matters
+    # twice over (r13 hostile-embeddings finding, fixed r14):
+    # - the predicate needs the explicit ``x IS NOT NULL`` conjunct
+    #   (abs(NULL) <= 8 is NULL and assert_true raises only on FALSE);
+    # - the assert must be coalesce's FIRST argument, not a ``+ 0``
+    #   side-term: Spark's null-intolerant ``+`` short-circuits when
+    #   the quantized left operand is NULL, skipping the assert
+    #   entirely. coalesce evaluates in order, and assert_true yields
+    #   NULL on pass, so the quantized value flows through unchanged.
     return emb.select(
         "vec_id",
         F.expr(
             f"transform(embedding, x -> "
-            f"CAST(floor(CAST(x AS DOUBLE) * {_Q}.0) AS BIGINT) "
-            f"+ CAST(coalesce(assert_true(abs(CAST(x AS DOUBLE)) <= 8.0D, "
-            f"'kmeans quantizer: |coordinate| > 8 exceeds the int64 "
-            f"headroom envelope'), 0) AS BIGINT))"
+            f"coalesce(assert_true(x IS NOT NULL AND "
+            f"abs(CAST(x AS DOUBLE)) <= 8.0D, "
+            f"'kmeans quantizer: NULL or |coordinate| > 8 exceeds the "
+            f"int64 headroom envelope'), "
+            f"CAST(floor(CAST(x AS DOUBLE) * {_Q}.0) AS BIGINT)))"
         ).alias("e"),
     )
 

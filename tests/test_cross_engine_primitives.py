@@ -341,3 +341,37 @@ def test_length_and_substr_agree_on_every_codepoint(spark_probe, con):
         if r.n != on or r.m != om
     ]
     assert bad == []
+
+
+def test_explicit_ws_class_has_zero_divergence(spark_probe, con):
+    """Full-Unicode enumeration for the r14 respell target: splitting
+    on the explicit class ``[ \\t\\n\\f\\r]+`` (dedup._WS_CLASS) agrees
+    between Java regex (Spark) and RE2 (DuckDB) on EVERY codepoint --
+    including U+000B, the one character the legacy ``\\s+`` grain
+    diverges on. This is the proof that a site respelled to the class
+    has no latent divergence left."""
+    from pyspark.sql import functions as F
+
+    from etl_sales_pandas_sqlserver_spark.functions.dedup import _WS_CLASS
+
+    chars = [
+        chr(c)
+        for c in range(0x01, 0x110000)
+        if not (0xD800 <= c <= 0xDFFF)
+    ]
+    probes = ["a" + c + "b" for c in chars]
+    sdf = spark_probe.createDataFrame([(p,) for p in probes], "t string")
+    sl = [
+        r[0]
+        for r in sdf.select(F.size(F.split(F.col("t"), _WS_CLASS))).collect()
+    ]
+    dl = [
+        r[0]
+        for r in con.execute(
+            f"SELECT len(regexp_split_to_array(t, '{_WS_CLASS}')) "
+            "FROM (SELECT unnest(?) AS t)",
+            [probes],
+        ).fetchall()
+    ]
+    diff = [ord(p[1]) for p, a, b in zip(probes, sl, dl) if a != b]
+    assert diff == []

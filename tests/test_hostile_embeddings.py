@@ -142,18 +142,17 @@ def test_null_and_zero_vectors_stay_oracle_green(spark, null_sf, name):
     assert _canon(sdf) == _canon(odf), name
 
 
-def test_kmeans_null_element_crashes_loudly_today(spark, null_sf):
-    """Tier 2 pin: the crash exists and is a crash, not a silent
-    divergence. r14 replaces this with an envelope-guard raise once
-    the r10 cohort drains (NOTES_r13.md) — this test is EXPECTED to
-    flip then."""
+def test_kmeans_null_element_raises_envelope_error(spark, null_sf):
+    """Tier 2 pin, flipped r14 (the NOTES_r13 plan): a NULL embedding
+    element now trips the quantizer's envelope assert_true LOUDLY —
+    the guard predicate is ``x IS NOT NULL AND abs(x) <= 8`` so NULL
+    no longer slips through assert_true's raise-only-on-FALSE
+    semantics into a NULL cluster_id / driver-side int(None)."""
     import __spark_entry__ as e
 
     with pytest.raises(Exception) as exc:
         e.queries()["cluster_kmeans_assign"](spark, null_sf).collect()
-    # today: driver-side int(None); after the r14 guard fix: a
-    # USER_RAISED_EXCEPTION naming the envelope — both are loud
-    assert exc.type is not None
+    assert "headroom envelope" in str(exc.value)
 
 
 def test_nan_is_the_known_embedding_divergence(spark, nan_sf):
