@@ -104,9 +104,18 @@ def _staged_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # membership probe: contaminated is tiny relative to the corpus
     # (eval-side-bounded), AQE broadcasts it — no hint needed
+    # too_short is NULL-ABSORBING (r14, ADVICE fix): a null-text doc
+    # has NULL n_tok (size(split(NULL)) is NULL on both engines), and
+    # a bare ``n_tok < _MIN_TOKENS`` predicate is NULL for it, letting
+    # it fall through to 'kept' — while corpus_curation_pipeline drops
+    # the same doc because NULL fails its ``n_tokens >= _MIN_TOKENS``
+    # filter. The explicit isNull arm keeps the funnel's 'kept' equal
+    # to the pipeline census on null-text corpora too.
     stage_order = (
         F.when(F.col("rn") > 1, 1)
-        .when(F.col("n_tok") < _MIN_TOKENS, 2)
+        .when(
+            F.col("n_tok").isNull() | (F.col("n_tok") < _MIN_TOKENS), 2
+        )
         .when(F.col("is_contam"), 3)
         .otherwise(4)
     )
@@ -198,7 +207,7 @@ _STAGED_CTE = f"""
   staged AS (
     SELECT r.source, r.n_tok,
            CAST(CASE WHEN r.rn > 1 THEN 1
-                     WHEN r.n_tok < {_MIN_TOKENS} THEN 2
+                     WHEN r.n_tok IS NULL OR r.n_tok < {_MIN_TOKENS} THEN 2
                      WHEN c.doc_id IS NOT NULL THEN 3
                      ELSE 4 END AS BIGINT) AS stage_order
     FROM ranked r LEFT JOIN contaminated c USING (doc_id)

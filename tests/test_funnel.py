@@ -47,8 +47,9 @@ def test_token_gate_shared_with_capstone():
         _MIN_TOKENS,
     )
 
-    assert f"WHEN r.n_tok < {_MIN_TOKENS} THEN 2" in _normalize(
-        FUNNEL_STAGES_SQL
+    assert (
+        f"WHEN r.n_tok IS NULL OR r.n_tok < {_MIN_TOKENS} THEN 2"
+        in _normalize(FUNNEL_STAGES_SQL)
     )
 
 
@@ -131,6 +132,56 @@ def test_kept_equals_capstone_census(spark, sf_small):
     assert kept.n_docs == census.n
 
 
+def test_kept_equals_capstone_census_with_null_text(spark, tmp_path):
+    """The never-disagree invariant on a NULL-TEXT corpus (r14 ADVICE
+    fix): a null-text doc has NULL n_tok, and before the null-absorbing
+    too_short arm it was attributed 'kept' while the capstone pipeline
+    dropped it at the token gate. The first null-text doc (keep-first
+    of the shared NULL fingerprint group) must land in too_short, the
+    rest in exact_dup, and 'kept' must still equal the pipeline
+    census."""
+    from etl_sales_pandas_sqlserver_spark.functions.funnel import (
+        q_funnel_stages,
+    )
+    from etl_sales_pandas_sqlserver_spark.functions.traindata import (
+        q_corpus_curation,
+    )
+
+    long = "alpha beta gamma delta epsilon zeta"
+    docs = [
+        (1, long + " one"),
+        (2, None),            # null text, keep-first -> too_short
+        (3, long + " three"),
+        (4, None),            # null text, dup of 2 -> exact_dup
+        (10, long + " eval"),  # eval holdout
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for _, t in docs], pa.int64()
+            ),
+        }
+    )
+    d = tmp_path / "nulltext"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    rows = {r.stage: r for r in q_funnel_stages(spark, str(d)).collect()}
+    assert rows["too_short"].n_docs == 1
+    assert rows["exact_dup"].n_docs == 1
+    kept = rows["kept"]
+    census = (
+        q_corpus_curation(spark, str(d))
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()[0]
+    )
+    assert kept.n_docs == census.n == 2
+
+
 def test_null_doc_id_vanishes_identically_on_both_engines(
     spark, tmp_path
 ):
@@ -197,14 +248,26 @@ def test_keep_first_plans_no_window_before_stage_agg(spark, sf_small):
         "keep-first regressed to a window form"
     )
 
+    # Semantic pins, not adjacent-line plan text (r14 ADVICE fix:
+    # layout/indentation/AQE-reuse nodes shift across Spark versions):
+    # exactly one single-partition exchange (the bounded docs-entering
+    # funnel), and every Window node must sit ABOVE it — i.e. the only
+    # windows run on the <= 5-row post-exchange frame, never on the
+    # corpus below the stage aggregate.
     stages = q_funnel_stages(spark, sf_small)._jdf.queryExecution(
     ).executedPlan().toString()
     lines = stages.splitlines()
     sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
     assert len(sp) == 1, "extra global funnel appeared"
-    # plan prints children below parents: the exchange's input is the
-    # stage-keyed aggregate (fixed 5-value domain)
-    assert "HashAggregate(keys=[stage_order" in lines[sp[0] + 1]
+    # plan prints children BELOW parents: anything after the exchange
+    # line is the pre-exchange (unbounded-corpus) subtree
+    below = "\n".join(lines[sp[0] + 1:])
+    assert "Window" not in below, (
+        "a Window regressed below the bounded stage aggregate"
+    )
+    assert "HashAggregate" in below, (
+        "the stage aggregate vanished from the exchange's subtree"
+    )
 
 
 def test_by_source_sums_to_global(spark, sf_small):
