@@ -58,6 +58,7 @@ from ..cache import managed_cache
 from ..session import shuffle_partitions
 from ..sources.testdata import load_table
 from .textstats import fingerprint_col
+from .tokcount import WS_CLASS
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -74,14 +75,14 @@ _HASH_SHIFT = 2_147_483_648  # 2^31
 #: Explicit whitespace class for this module's TOKEN sites (r14
 #: respell, aligned with the r10-cohort drain): Java's ``\s`` (Spark)
 #: includes U+000B, RE2's (DuckDB) does not, so the two engines
-#: disagreed on vertical-tab documents. ``[ \t\n\f\r]+`` is the
-#: intersection — proven cross-engine-identical over every Unicode
-#: codepoint by tests/test_cross_engine_primitives.py::
-#: test_explicit_ws_class_has_zero_divergence. The remaining ``\s+``
-#: site in this module (EXACT_DEDUP_SQL's fingerprint, paired with
+#: disagreed on vertical-tab documents. The class is defined ONCE in
+#: functions/tokcount.py (the token-grain home, same hoist discipline
+#: as N_TOKENS_SQL) and proven cross-engine-identical over every
+#: Unicode codepoint. The remaining ``\s+`` site in this module
+#: (EXACT_DEDUP_SQL's fingerprint, paired with
 #: textstats.fingerprint_col) respells with the textstats cohort's
 #: drain round — see NOTES_r14.md for the site-by-round table.
-_WS_CLASS = r"[ \t\n\f\r]+"
+_WS_CLASS = WS_CLASS
 
 # ---------------------------------------------------------------------------
 # Shared shingling (word 3-grams, distinct per doc)

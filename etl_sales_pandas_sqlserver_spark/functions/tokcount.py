@@ -35,6 +35,17 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: The EXPLICIT whitespace class — identical under Java regex (Spark)
+#: and RE2 (DuckDB): proven zero-divergence over every Unicode
+#: codepoint by tests/test_cross_engine_primitives.py::
+#: test_explicit_ws_class_has_zero_divergence. This is the respell
+#: TARGET for every ``\s+`` site: dedup's token sites moved in r14
+#: (with their drain round); the remaining sites — including
+#: ``N_TOKENS_SQL`` below and the fingerprint pair — move with their
+#: consumers' drain rounds (site-by-round table in NOTES_r14.md). New
+#: token sites must use this class from day one.
+WS_CLASS = r"[ \t\n\f\r]+"
+
 N_TOKENS_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))"
 
 

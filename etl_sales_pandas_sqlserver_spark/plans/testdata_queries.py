@@ -615,10 +615,11 @@ _register_extensions()
 # quality_calibration ×1 + source_stats ×3 + batching ×3 +
 # histograms ×2 + dataset_cards ×2 + budget ×3 + sharding ×1 +
 # png ×1 + pruning ×1 + release ×1 + curriculum ×3 + bpe ×1 (r12) +
-# currpack ×3 + stream_dataset_card_ingest (r13)). If a
-# refactor ever drops a whole family, fail at import time rather than
-# letting the driver verify a shrunken registry.
-_REGISTRY_FLOOR = 185
+# currpack ×3 + stream_dataset_card_ingest (r13) + curation funnel ×2
+# (r13) + bpe_apply_merges (r14)). If a refactor ever drops a whole
+# family, fail at import time rather than letting the driver verify a
+# shrunken registry.
+_REGISTRY_FLOOR = 186
 if len(QUERIES) < _REGISTRY_FLOOR:  # pragma: no cover - tripwire
     raise RuntimeError(
         f"query registry shrank: {len(QUERIES)} < {_REGISTRY_FLOOR} — "

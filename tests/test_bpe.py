@@ -1,0 +1,107 @@
+"""bpe_apply_merges semantics pins: the crafted corpus makes the merge
+table and every tokenization hand-computable, so the three behaviors
+the driver hash-compare can't isolate from stock testdata are pinned
+directly:
+
+- GREEDY LEFT-TO-RIGHT NON-OVERLAPPING within one pass ("aaa" under
+  rule "aa" -> [aa, a]; "aaaa" -> [aa, aa]);
+- RANK PRIORITY between rules (in "abc", the higher-ranked "ab"
+  consumes the b, so "bc" can never apply — count DESC, pair ASC);
+- the per-source arithmetic (tokens + merge hits telescope:
+  n_merge_hits == n_chars - n_tokens).
+
+The oracle (positional run-parity spelling) is run on the SAME corpus
+so the fold-vs-comprehension equivalence is exercised exactly where
+chains and priorities actually fire, not just on organic text.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def merge_corpus(tmp_path_factory) -> str:
+    """Words: 'aaa' x5, 'aaaa' x2, 'abc' x3 across two sources.
+    Pair counts: aa = 5*2 + 2*3 = 16, ab = 3, bc = 3
+    -> merge table (count DESC, pair ASC): [aa, ab, bc].
+    Tokenizations: aaa -> [aa, a]; aaaa -> [aa, aa]; abc -> [ab, c]."""
+    docs = [
+        (1, "aaa aaa aaaa abc", "s1"),
+        (2, "aaa aaa abc", "s1"),
+        (3, "aaa aaaa abc", "s2"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t, _ in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array([s for _, _, s in docs], pa.string()),
+            "n_chars": pa.array([len(t) for _, t, _ in docs], pa.int64()),
+        }
+    )
+    d = tmp_path_factory.mktemp("merge_corpus")
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_greedy_chain_and_rank_priority(spark, merge_corpus):
+    from etl_sales_pandas_sqlserver_spark.functions.bpe import (
+        q_bpe_apply_merges,
+    )
+
+    got = {
+        r.source: r for r in q_bpe_apply_merges(spark, merge_corpus).collect()
+    }
+    # s1: words aaa x4, aaaa x1, abc x2
+    #   chars = 4*3 + 4 + 2*3 = 22; tokens = 4*2 + 2 + 2*2 = 14
+    assert (got["s1"].n_words, got["s1"].n_chars) == (7, 22)
+    assert (got["s1"].n_tokens, got["s1"].n_merge_hits) == (14, 8)
+    # s2: words aaa x1, aaaa x1, abc x1
+    #   chars = 3 + 4 + 3 = 10; tokens = 2 + 2 + 2 = 6
+    assert (got["s2"].n_words, got["s2"].n_chars) == (3, 10)
+    assert (got["s2"].n_tokens, got["s2"].n_merge_hits) == (6, 4)
+    for r in got.values():
+        assert r.n_merge_hits == r.n_chars - r.n_tokens
+
+
+def test_oracle_agrees_where_chains_fire(spark, merge_corpus):
+    from etl_sales_pandas_sqlserver_spark.functions.bpe import (
+        BPE_APPLY_MERGES_SQL,
+        q_bpe_apply_merges,
+    )
+
+    sdf = q_bpe_apply_merges(spark, merge_corpus).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM '{merge_corpus}/documents.parquet'"
+    )
+    odf = con.execute(BPE_APPLY_MERGES_SQL).df()
+    assert sorted(map(tuple, sdf.values.tolist())) == sorted(
+        map(tuple, odf.values.tolist())
+    )
+
+
+def test_merge_table_is_bounded_and_rank_ordered(spark, merge_corpus):
+    """The driver-side collect must stay <= _APPLY_K rows (the
+    kmeans-centroid bound) and the fold must run in (count DESC,
+    pair ASC) order — a tiny corpus yields its FULL distinct-pair
+    list, rank-ordered."""
+    from etl_sales_pandas_sqlserver_spark.functions.bpe import (
+        _APPLY_K,
+        q_bpe_top_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    rows = (
+        q_bpe_top_pairs(spark, merge_corpus)
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(_APPLY_K)
+        .collect()
+    )
+    assert len(rows) <= _APPLY_K
+    assert [(r.pair, r.n) for r in rows] == [("aa", 16), ("ab", 3), ("bc", 3)]

@@ -352,7 +352,9 @@ def test_explicit_ws_class_has_zero_divergence(spark_probe, con):
     has no latent divergence left."""
     from pyspark.sql import functions as F
 
-    from etl_sales_pandas_sqlserver_spark.functions.dedup import _WS_CLASS
+    from etl_sales_pandas_sqlserver_spark.functions.tokcount import (
+        WS_CLASS as _WS_CLASS,
+    )
 
     chars = [
         chr(c)

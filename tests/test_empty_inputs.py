@@ -105,6 +105,9 @@ _REPRESENTATIVES = [
     "curriculum_stage_mix",
     "curriculum_pacing_schedule",
     "bpe_top_pairs",
+    # r14: fixed-merge-table apply (empty corpus -> empty merge table
+    # -> zero folds -> empty per-source rollup)
+    "bpe_apply_merges",
     # r13: the stage-homogeneous packing family + streaming card ingest
     "pack_by_curriculum_stage",
     "pack_stage_fill_summary",

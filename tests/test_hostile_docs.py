@@ -100,6 +100,10 @@ _AFFECTED = [
     "curriculum_pacing_schedule",
     # r12: character-pair counts -- multibyte substr grain must agree
     "bpe_top_pairs",
+    # r14: merge apply -- char-grain tokenization + greedy fold vs the
+    # positional run-parity oracle must agree on unicode/empty/short
+    # docs (and on however many merge rules this tiny corpus yields)
+    "bpe_apply_merges",
     # r13: stage-homogeneous packing -- stage assignment (LM grain,
     # <2-token exclusion) AND the \s+ token-count grain must agree
     "pack_by_curriculum_stage",

@@ -60,6 +60,7 @@ _ROBUST = [
     "lm_band_prune_by_source",
     "curriculum_stage_mix",
     "bpe_top_pairs",
+    "bpe_apply_merges",
     "heavy_hitters_users",
     "chunk_context_windows",
 ]

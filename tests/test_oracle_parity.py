@@ -47,9 +47,9 @@ def test_registry_consistency():
     o = e.oracle_sql()
     assert set(o).issubset(set(q))
     assert q, "queries() must not be empty"
-    # Pin the registry floor (185 = r13 count). A broken family import
+    # Pin the registry floor (186 = r14 count). A broken family import
     # must raise at import time, never shrink queries() silently.
-    assert len(q) >= 185, f"registry shrank to {len(q)}"
+    assert len(q) >= 186, f"registry shrank to {len(q)}"
 
 
 def test_broken_family_import_raises():
@@ -72,7 +72,7 @@ def test_broken_family_import_raises():
     finally:
         sys.modules[reg] = saved
         importlib.reload(tq)
-    assert len(tq.QUERIES) >= 185
+    assert len(tq.QUERIES) >= 186
 
 
 def test_synth_partsupp_matches_cte_and_tpch_shape(spark, sf_small):

@@ -94,6 +94,11 @@ FAMILIES: dict[str, list[str]] = {
     # suffixed replicas) must cost ~10x, with the stage agg fixed at
     # 5 output rows
     "funnel": ["curation_funnel_stages"],
+    # round-14: merge apply — the replica token suffixes give the 10x
+    # corpus ~10x DISTINCT words, so the K in-row fold passes run over
+    # a 10x vocabulary (the quantity that must scale linearly); the
+    # merge table stays a bounded 16-row collect at both scales
+    "bpe_apply": ["bpe_apply_merges"],
 }
 
 #: round-8: hot-key families, run against the SKEWED 10x events
