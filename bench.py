@@ -255,12 +255,17 @@ def main() -> None:
 
         repo = os.path.dirname(os.path.abspath(__file__))
         try:
+            # r14: 600s silently killed the smoke every driver round
+            # (BENCH_r13 recorded scale_smoke: {}) — 18 families plus
+            # the one-time .scaledata regeneration in a fresh checkout
+            # measure ~7 min alone; 1800s covers it with margin while
+            # still bounding a hang
             sproc = subprocess.run(
                 [sys.executable, os.path.join(repo, "tools", "scale_smoke.py")],
                 capture_output=True,
                 text=True,
                 cwd=repo,
-                timeout=600,
+                timeout=1800,
             )
             for line in sproc.stdout.splitlines():
                 try:

@@ -133,6 +133,7 @@ STREAM_HOURLY_SQL = """
          COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
   FROM events
+  WHERE ts IS NOT NULL
   GROUP BY 1, 2
   ORDER BY 1, 2
 """
@@ -217,6 +218,7 @@ def _sessionize_group(
 STREAM_SESSIONS_SQL = """
   WITH g AS (
     SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events
+    WHERE ts IS NOT NULL
   ),
   o AS (
     SELECT user_id,
@@ -236,7 +238,16 @@ STREAM_SESSIONS_SQL = """
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events_stream(spark, sf_dir).select("user_id", "ts_us", "event_id")
+    # clock-less events (NULL ts) are excluded EXPLICITLY on both
+    # engines (r14 hostile-events fix, same spelling as the batch
+    # sessionize_events r13 fix): unfiltered, a null ts_us crashed the
+    # stateful kernel's int64 numpy path, and the oracle now carries
+    # the matching WHERE ts IS NOT NULL
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .select("user_id", "ts_us", "event_id")
+        .filter(F.col("ts_us").isNotNull())
+    )
     sessions = ev.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         outputStructType=_SESSION_OUTPUT,
@@ -309,6 +320,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SLIDING_SQL = """
   WITH hb AS (
     SELECT epoch_us(ts) // 3600000000 AS h, event_type, value FROM events
+    WHERE ts IS NOT NULL
   ),
   contrib AS (
     SELECT h AS win_start, event_type, value FROM hb
@@ -485,6 +497,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_SESSION_WINDOW_SQL = f"""
   WITH e AS (
     SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+    WHERE ts IS NOT NULL
   ),
   flagged AS (
     SELECT user_id, ts_us, value,
@@ -562,13 +575,13 @@ STREAM_TOPK_SQL = f"""
   WITH counts AS (
     SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
   )
   SELECT hour_bucket, event_type, n_events, rn
   FROM (
     SELECT *, row_number() OVER (
       PARTITION BY hour_bucket
-      ORDER BY n_events DESC, event_type ASC) AS rn
+      ORDER BY n_events DESC, event_type ASC NULLS LAST) AS rn
     FROM counts)
   WHERE rn <= {_STREAM_TOPK_K}
   ORDER BY hour_bucket, rn
@@ -593,8 +606,11 @@ def q_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with shuffle_partitions(spark, 8):
         counts = _run_to_table(spark, agg, "complete")
+    # NULLS LAST explicitly on BOTH engines (r14 hostile-events fix):
+    # Spark windows default NULLS FIRST for ASC, DuckDB NULLS LAST, so
+    # a null event_type group tying at the cutoff ranked differently
     w = Window.partitionBy("hour_bucket").orderBy(
-        F.col("n_events").desc(), F.col("event_type").asc()
+        F.col("n_events").desc(), F.col("event_type").asc_nulls_last()
     )
     return (
         counts.withColumn("rn", F.row_number().over(w))
@@ -619,6 +635,7 @@ STREAM_SKETCH_SQL = """
          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
          TRUE AS est_ok
   FROM events
+  WHERE ts IS NOT NULL
   GROUP BY 1, 2
   ORDER BY 1, 2
 """
@@ -650,12 +667,20 @@ def q_stream_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dates import epoch_us
 
-    batch = load_table(spark, sf_dir, "events")
+    # the batch contract leg mirrors the watermark's semantics
+    # explicitly (r14 hostile-events fix): clock-less rows are dropped
+    # like the stream drops them, and the join back to the streamed
+    # sketch is NULL-SAFE on event_type so a null-type group (valid
+    # ts) survives — a plain equi join dropped it while the oracle's
+    # GROUP BY kept it (the sketch_rollup r13 fix class)
+    batch = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     exact = (
         batch.withColumn("ts_us", epoch_us(batch, "ts"))
         .groupBy(
-            "event_type",
-            F.expr("ts_us div 86400000000").alias("day_bucket"),
+            F.col("event_type").alias("b_event_type"),
+            F.expr("ts_us div 86400000000").alias("b_day_bucket"),
         )
         .agg(F.count_distinct("user_id").alias("exact_users"))
     )
@@ -664,7 +689,11 @@ def q_stream_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.col("exact_users").cast("double") * 0.02 + 0.5
     )
     return (
-        out.join(exact, ["event_type", "day_bucket"])
+        out.join(
+            exact,
+            F.col("event_type").eqNullSafe(F.col("b_event_type"))
+            & (F.col("day_bucket") == F.col("b_day_bucket")),
+        )
         .select(
             "event_type", "day_bucket", "exact_users", est_ok.alias("est_ok")
         )

@@ -173,18 +173,13 @@ _STREAM_ROBUST = [
     "stream_static_join_nation",
     "stream_stream_join_attrib",
     "stream_upsert_latest",
-]
-
-#: Known divergent/crash: a WATERMARKED aggregation drops null
-#: event-time rows BY DEFINITION (Spark's watermark semantics) while
-#: the batch GROUP BY oracle keeps their groups — the row deltas on
-#: the poisoned corpus are exactly the null-ts rows' groups; the
-#: stateful sessionizer raises from applyInPandasWithState on a null
-#: ts. All r10/r11-vintage: the respell (align the batch oracle with
-#: ``WHERE ts IS NOT NULL``, which IS the watermark's semantics, and
-#: guard the stateful kernel) is a zero-slot fix in the round their
-#: cohort drains (NOTES_r13.md).
-_STREAM_KNOWN_NOT_GREEN = [
+    # fixed r14 (zero-slot: the whole stream_ family is r10-vintage
+    # and drains through the r14 window): the watermarked aggs'
+    # batch oracles now carry WHERE ts IS NOT NULL — which IS the
+    # watermark's semantics — the stateful sessionizer filters
+    # clock-less events explicitly on both engines, the hourly topk
+    # ranks NULLS LAST explicitly on both engines, and the sketch
+    # contract joins its batch leg null-safely on event_type
     "stream_hourly_agg",
     "stream_session_window_native",
     "stream_sessionize_stateful",
@@ -192,6 +187,11 @@ _STREAM_KNOWN_NOT_GREEN = [
     "stream_sliding_2h",
     "stream_topk_types_per_hour",
 ]
+
+#: r14: the streaming tier is fully green on the poisoned corpus —
+#: the former six-member known-not-green list emptied when the
+#: watermark-vs-batch-oracle respell landed with the r10 drain.
+_STREAM_KNOWN_NOT_GREEN: list[str] = []
 
 
 @pytest.mark.parametrize("name", _STREAM_ROBUST)
