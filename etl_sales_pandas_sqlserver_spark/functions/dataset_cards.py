@@ -116,7 +116,8 @@ DATASET_CARD_SQL = f"""
   ),
   cum AS (
     SELECT source, bin_cap,
-           CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY bin_cap)
+           CAST(SUM(n_docs) OVER (PARTITION BY source
+                                  ORDER BY bin_cap NULLS FIRST)
                 AS BIGINT) AS cum_docs,
            CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT) AS total
     FROM hist

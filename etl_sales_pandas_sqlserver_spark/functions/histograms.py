@@ -132,7 +132,8 @@ HIST_QUANTILES_SQL = f"""
   ),
   cum AS (
     SELECT source, bin_cap, n_docs,
-           CAST(SUM(n_docs) OVER (PARTITION BY source ORDER BY bin_cap)
+           CAST(SUM(n_docs) OVER (PARTITION BY source
+                                  ORDER BY bin_cap NULLS FIRST)
                 AS BIGINT) AS cum_docs,
            CAST(SUM(n_docs) OVER (PARTITION BY source) AS BIGINT)
              AS total_docs

@@ -91,7 +91,8 @@ QUALITY_PCT_SQL = f"""
   r AS (
     SELECT doc_id, source, score_ppm,
            ROW_NUMBER() OVER (PARTITION BY source
-                              ORDER BY score_ppm, doc_id) AS rnk,
+                              ORDER BY score_ppm NULLS FIRST,
+                                       doc_id NULLS FIRST) AS rnk,
            COUNT(*) OVER (PARTITION BY source) AS n_src
     FROM s
   )

@@ -604,7 +604,8 @@ _N_SHARDS = 4
 TRAINING_ORDER_SQL = f"""
   WITH ranked AS (
     SELECT doc_id,
-           ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))
+                              NULLS FIRST) - 1
              AS pos
     FROM documents
   )

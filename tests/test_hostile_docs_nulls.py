@@ -63,6 +63,15 @@ _ROBUST = [
     "bpe_apply_merges",
     "heavy_hitters_users",
     "chunk_context_windows",
+    # fixed r14 (zero-slot: r10/r11 queries already in the r14
+    # window): the nullable-ORDER-BY class — oracles now spell NULLS
+    # FIRST explicitly (Spark's window and range-partitioner default)
+    # on the histogram cum windows (null n_chars -> null bin_cap),
+    # the percentile rank keys, and the training-order md5 key
+    "hist_quantiles_by_source",
+    "quality_percentile_by_source",
+    "training_order_global_index",
+    "dataset_card_by_source",
 ]
 
 #: queries that are KNOWN to crash or diverge on null document fields
@@ -75,12 +84,9 @@ _KNOWN_NOT_GREEN = [
     "importance_weights_ngram",
     # ANSI divide-by-zero
     "token_salience",
-    # null doc_id through ordering / prefix sums, or a null source
-    # group dropped by an equi join
-    "hist_quantiles_by_source",
-    "quality_percentile_by_source",
-    "training_order_global_index",
-    "dataset_card_by_source",
+    # null doc_id through ordering / prefix sums (remaining members:
+    # all r11/r12-vintage — same NULLS FIRST respell lands with their
+    # drain rounds, like the four fixed in r14)
     "token_position_profile",
     "shard_manifest_tokens",
     "pack_training_sequences",
