@@ -48,14 +48,13 @@ def test_spark_and_duckdb_token_counts_agree(spark):
     assert got == want, list(zip(_CASES, got, want))
 
 
-def test_vertical_tab_is_the_known_divergence(spark):
-    """U+000B is the ONE whitespace shape the two engines disagree on
-    (Java \\s includes it, RE2 \\s does not) — documented in the
-    tokcount module docstring rather than respelled, because '\\s+' is
-    embedded in the paired oracle SQL of the whole textstats family.
-    This test pins the divergence LOUDLY: if either engine's \\s
-    semantics ever change (or the spelling is aligned), it fails and
-    the docstring + exclusion tripwire below must be revisited."""
+def test_vertical_tab_agrees_after_the_r14_respell(spark):
+    """Flipped r14: the token grain splits on the explicit class
+    (tokcount.WS_CLASS) now, so U+000B — formerly the one whitespace
+    shape the engines disagreed on (Java \\s includes it, RE2 \\s does
+    not) — counts IDENTICALLY: one token on both engines (\\x0B is not
+    a separator under the class). If this ever fails, one engine's
+    character-class semantics drifted."""
     text = "a\x0bb"
     sdf = spark.createDataFrame([(text,)], ["text"])
     spark_n = sdf.select(n_tokens_spark().alias("n")).collect()[0].n
@@ -65,16 +64,17 @@ def test_vertical_tab_is_the_known_divergence(spark):
         [text],
     ).fetchone()[0]
     con.close()
-    assert spark_n == 2  # Java \s matches \x0B -> two tokens
-    assert duck_n == 1  # RE2 \s does not -> one token
+    assert spark_n == 1 == duck_n
 
 
 def test_testdata_contains_no_vertical_tab():
-    """The \\x0B exclusion that keeps the documented divergence latent:
-    no document in the driver testdata contains a vertical tab, at any
-    scale the correctness gate runs. If the driver ever regenerates
-    testdata with \\x0B in it, this fires before any oracle mismatch
-    confuses a round."""
+    """The \\x0B exclusion tripwire STAYS after the r14 token-grain
+    respell: other families (textstats/source_stats per-token sites,
+    the fingerprint pair, traindata/bpe/array_queries) still split on
+    literal ``'\\s+'`` until their drain rounds, so their divergence
+    remains latent only while the driver testdata carries no vertical
+    tab. If the driver ever regenerates testdata with \\x0B in it,
+    this fires before any oracle mismatch confuses a round."""
     import os
 
     for sf in ("0.001", "0.01", "0.1"):
