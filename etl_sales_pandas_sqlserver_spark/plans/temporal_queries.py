@@ -65,7 +65,7 @@ def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
 ASOF_SQL = """
   WITH v AS (
     SELECT user_id, ts, max(value) AS click_value
-    FROM events WHERE event_type = 'click'
+    FROM events WHERE event_type = 'click' AND ts IS NOT NULL
     GROUP BY 1, 2
   ),
   c AS (
@@ -86,8 +86,16 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The right side is first made unique per (user, ts) — max(value) —
     so the as-of pick is deterministic on both engines."""
     ev = _events_us(spark, sf_dir)
+    # clock-less clicks are excluded EXPLICITLY on both engines (r14
+    # hostile-events fix): DuckDB's ASOF inequality never matches a
+    # NULL build-side ts, while Spark's union-then-window form sorted
+    # the NULL-ts click NULLS FIRST where its value leaked into every
+    # purchase's running last() — an event without a clock cannot
+    # participate in an as-of join
     clicks = (
-        ev.filter(F.col("event_type") == "click")
+        ev.filter(
+            (F.col("event_type") == "click") & F.col("tsu").isNotNull()
+        )
         .groupBy("user_id", "tsu")
         .agg(F.max("value").alias("click_value"))
     )

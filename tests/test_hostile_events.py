@@ -63,13 +63,20 @@ _ROBUST = [
     "window_distinct_types_1h_chunked",
     "window_distinct_types_1h_hybrid",
     "window_range_1h_load",
-    # fixed this round (tier 2):
+    # fixed r13 (tier 2):
     "sessionize_events",
     "sketch_rollup_distinct_users",
+    # fixed r14: clock-less clicks are excluded on both engines — the
+    # NULL-ts click's value leaked into every purchase via Spark's
+    # NULLS FIRST running last() while DuckDB's ASOF inequality never
+    # matched it
+    "asof_join_clicks_purchases",
 ]
 
+#: remaining members are all r12-vintage — the same explicit
+#: ``ts IS NOT NULL`` / NULLS-alignment respell lands with their
+#: drain round (r15), like asof_join did with its r14 slot
 _KNOWN_DIVERGENT = [
-    "asof_join_clicks_purchases",
     "window_event_deltas",
     "window_first_last_touch",
     "window_moving_avg_7",
