@@ -105,3 +105,97 @@ def test_merge_table_is_bounded_and_rank_ordered(spark, merge_corpus):
     )
     assert len(rows) <= _APPLY_K
     assert [(r.pair, r.n) for r in rows] == [("aa", 16), ("ab", 3), ("bc", 3)]
+
+
+def _py_one_pass(toks: list, pair: str) -> list:
+    """Pure-Python greedy left-to-right non-overlapping single pass —
+    the reference the staged fixture was hand-computed against."""
+    out: list = []
+    i = 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] + toks[i + 1] == pair:
+            out.append(pair)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def test_oracle_positional_pass_matches_python_greedy_reference():
+    """Property pin for the oracle's run-parity positional spelling of
+    one merge pass: on randomized token lists over a tiny alphabet
+    (maximizing chains and overlaps) it must equal the sequential
+    greedy fold. hypothesis drives DuckDB directly — no Spark in the
+    loop; the driver hash-compare ties Spark's fold to this oracle."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+    one_pass_sql = """
+      WITH base AS (
+        SELECT ? AS t, ? AS p
+      ),
+      m AS (
+        SELECT t, p,
+               [CASE WHEN i < len(t) AND t[i] || t[i+1] = p
+                     THEN true ELSE false END
+                for i in range(1, len(t)+1)] AS mt
+        FROM base
+      ),
+      s AS (
+        SELECT t, p,
+               [mt[i] AND ((i - list_max(
+                   [j for j in range(0, i) if j = 0 OR NOT mt[j]])) % 2 = 1)
+                for i in range(1, len(t)+1)] AS sel
+        FROM m
+      )
+      SELECT [CASE WHEN sel[i] THEN p ELSE t[i] END
+              for i in range(1, len(t)+1)
+              if i = 1 OR NOT sel[i-1]]
+      FROM s
+    """
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(st.sampled_from(list("ab")), min_size=0, max_size=12),
+        st.sampled_from(["aa", "ab", "ba", "bb"]),
+    )
+    def check(toks, pair):
+        got = con.execute(one_pass_sql, [toks, pair]).fetchone()[0]
+        assert list(got) == _py_one_pass(toks, pair), (toks, pair)
+
+    check()
+    con.close()
+
+
+def test_spark_fold_matches_python_greedy_reference(spark):
+    """The Spark-side F.aggregate fold on the same adversarial shapes
+    (chain runs, overlaps, empty, no-match) — one batched DataFrame,
+    direct comparison against the Python reference per row."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from etl_sales_pandas_sqlserver_spark.functions.bpe import (
+        _one_merge_pass,
+    )
+
+    toks_cases = [
+        list(t)
+        for n in range(0, 7)
+        for t in itertools.product("ab", repeat=n)
+    ]
+    for pair in ["aa", "ab", "ba"]:
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(toks_cases)],
+            "i long, toks array<string>",
+        )
+        got = {
+            r.i: list(r.m)
+            for r in df.select(
+                "i", _one_merge_pass(F.col("toks"), pair).alias("m")
+            ).collect()
+        }
+        for i, t in enumerate(toks_cases):
+            assert got[i] == _py_one_pass(t, pair), (t, pair)
