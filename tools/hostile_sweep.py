@@ -86,6 +86,39 @@ def _poison(kind: str, d: str) -> list[str]:
         ) TO '{d}/customer.parquet' (FORMAT PARQUET)
         """)
         return ["orders", "lineitem", "customer"]
+    if kind == "tpch_values":
+        # hostile VALUES, not nulls: negative/zero/huge money, >1 and
+        # negative rates, epoch/far-future dates, out-of-domain flags
+        # and empty strings — the overflow/rounding/domain-CASE axis
+        con.execute(f"""
+        COPY (
+          SELECT * FROM '{SF}/orders.parquet'
+          UNION ALL SELECT 9100001, 1, 'O', 9900000000000.99,
+                           TIMESTAMP '1970-01-01', '1-URGENT'
+          UNION ALL SELECT 9100002, 2, 'X', -54321.99,
+                           TIMESTAMP '2099-12-31', ''
+        ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+        """)
+        con.execute(f"""
+        COPY (
+          SELECT * FROM '{SF}/lineitem.parquet'
+          UNION ALL SELECT 9100001, 1, 1, 1, -3.0, -100.25, 1.5, -0.1,
+                           'Z', '?', TIMESTAMP '1970-01-01'
+          UNION ALL SELECT 9100001, 2, 2, 2, 0.0, 9900000000000.99,
+                           0.999999, 0.999999, 'N', 'O',
+                           TIMESTAMP '2099-12-31'
+          UNION ALL SELECT 9100002, 3, 3, 1, 0.000001, 0.0, 0.0, 0.0,
+                           'A', 'F', TIMESTAMP '1992-01-01'
+        ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)
+        """)
+        con.execute(f"""
+        COPY (
+          SELECT * FROM '{SF}/customer.parquet'
+          UNION ALL SELECT 9100001, 'Cust''omer "quoted" über', 1,
+                           -99999.99, ''
+        ) TO '{d}/customer.parquet' (FORMAT PARQUET)
+        """)
+        return ["orders", "lineitem", "customer"]
     if kind == "embeddings":
         import pyarrow as pa
         import pyarrow.parquet as pq
