@@ -86,6 +86,25 @@ def _poison(kind: str, d: str) -> list[str]:
         ) TO '{d}/customer.parquet' (FORMAT PARQUET)
         """)
         return ["orders", "lineitem", "customer"]
+    if kind == "events_values":
+        # hostile VALUES on the events axis: NaN/±inf/huge value
+        # doubles, epoch and far-future timestamps, empty-string type
+        con.execute(f"""
+        COPY (
+          SELECT * FROM '{SF}/events.parquet'
+          UNION ALL SELECT 9200001, TIMESTAMP '1970-01-01 00:00:00', 7,
+                           'view', 'nan'::DOUBLE, '{{}}'
+          UNION ALL SELECT 9200002, TIMESTAMP '2199-12-31 23:59:59', 8,
+                           'click', 'inf'::DOUBLE, '{{}}'
+          UNION ALL SELECT 9200003, TIMESTAMP '2024-03-02 05:00:00', 9,
+                           'purchase', '-inf'::DOUBLE, '{{}}'
+          UNION ALL SELECT 9200004, TIMESTAMP '2024-03-02 06:00:00', 10,
+                           '', 9.9e15, '{{}}'
+          UNION ALL SELECT 9200005, TIMESTAMP '2024-03-02 07:00:00', 11,
+                           'view', -9.9e15, '{{}}'
+        ) TO '{d}/events.parquet' (FORMAT PARQUET)
+        """)
+        return ["events"]
     if kind == "tpch_values":
         # hostile VALUES, not nulls: negative/zero/huge money, >1 and
         # negative rates, epoch/far-future dates, out-of-domain flags
