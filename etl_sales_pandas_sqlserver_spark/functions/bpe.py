@@ -15,8 +15,12 @@ primitives are these two queries:
    corpus" audit every tokenizer-training pipeline publishes.
 
 top_pairs semantics (identical both engines): words = whitespace split
-of ``trim(lower(text))``; words shorter than 2 characters have no
-pairs; pair ``i`` = the two-character substring at position ``i``
+of ``trim(lower(text))`` on the explicit ``tokcount.WS_CLASS`` grain
+(r15: respelled from ``\\s+`` so the merge-table derivation and the
+apply side share ONE whitespace definition — the r14 ADVICE finding
+was exactly this intra-module grain mix); words shorter than 2
+characters have no pairs; pair ``i`` = the two-character substring at
+position ``i``
 (CHARACTER grain, so multibyte text pairs identically — substr is
 char-based in both Spark and DuckDB); top 50 by count descending, pair
 ascending as the deterministic tiebreak at the cutoff.
@@ -71,7 +75,7 @@ _APPLY_K = 16
 def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), WS_CLASS)).alias("w")
     ).filter(F.length("w") >= 2)
     # sequence lower bound == 1 is guaranteed by the length filter
     # (sequence(a, b) with b < a would count DOWN)
@@ -93,7 +97,7 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BPE_TOP_PAIRS_SQL = f"""
   WITH words AS (
-    SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+    SELECT UNNEST(regexp_split_to_array(trim(lower(text)), '{WS_CLASS}')) AS w
     FROM documents
   ),
   pairs AS (

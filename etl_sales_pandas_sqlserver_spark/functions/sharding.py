@@ -153,9 +153,18 @@ def assign_token_shards(toks: DataFrame) -> DataFrame:
 
 
 def q_shard_manifest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        n_tokens_spark().alias("n_tok"),
+    # doc_id IS NOT NULL on BOTH engines: the manifest's global order
+    # IS doc_id, so an id-less document cannot be deterministically
+    # placed (and the Spark chunk/super equi-joins drop a NULL chunk
+    # anyway, while DuckDB's naive window would sort it NULLS LAST —
+    # the r15 hostile-docs divergence)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            n_tokens_spark().alias("n_tok"),
+        )
     )
     # cache the 2-int64-column projection: the chunk-sum build and the
     # join probe otherwise each re-scan the full text column just to
@@ -177,7 +186,7 @@ def q_shard_manifest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHARD_MANIFEST_SQL = f"""
   WITH t AS (
     SELECT doc_id, CAST({N_TOKENS_SQL} AS BIGINT) AS n_tok
-    FROM documents
+    FROM documents WHERE doc_id IS NOT NULL
   ),
   c AS (
     SELECT doc_id, n_tok,

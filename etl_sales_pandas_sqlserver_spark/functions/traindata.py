@@ -231,7 +231,8 @@ _SEQ_BUDGET = 4000
 PACK_SEQUENCES_SQL = f"""
   WITH assigned AS (
     SELECT lang, doc_id, n_chars,
-           CAST((SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+           CAST((SUM(n_chars) OVER (PARTITION BY lang
+                                    ORDER BY doc_id NULLS FIRST
                                     ROWS UNBOUNDED PRECEDING) - n_chars)
                 // {_SEQ_BUDGET} AS BIGINT) AS seq_id
     FROM documents

@@ -395,10 +395,12 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINDOW_DELTAS_SQL = """
   SELECT event_id, user_id,
          epoch_us(ts) AS ts_us,
-         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
-                                                ORDER BY epoch_us(ts), event_id)
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id
+           ORDER BY epoch_us(ts) NULLS FIRST, event_id)
            AS prev_gap_us,
-         ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id)
+         ntile(4) OVER (PARTITION BY user_id
+                        ORDER BY value NULLS FIRST, event_id)
            AS value_quartile
   FROM events
   ORDER BY event_id

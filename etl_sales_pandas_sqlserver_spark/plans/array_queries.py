@@ -30,6 +30,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.tokcount import WS_CLASS
 from ..sources.testdata import load_table
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -40,13 +41,16 @@ _N_GROUPS = 8
 
 TOKEN_POSITION_SQL = rf"""
   WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    SELECT doc_id, regexp_split_to_array(trim(text), '{WS_CLASS}') AS w
     FROM documents
   ),
   pos AS (
+    -- w IS NOT NULL: a null-text doc must generate ZERO rows, as
+    -- posexplode(NULL) does; DuckDB's least() SKIPS nulls, so without
+    -- the filter len(NULL) -> least(NULL, 32) = 32 phantom positions
     SELECT doc_id, w,
            unnest(range(1, least(len(w), {_MAX_POS}) + 1)) AS p
-    FROM toks
+    FROM toks WHERE w IS NOT NULL
   )
   SELECT p - 1 AS pos,
          CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -59,7 +63,7 @@ TOKEN_POSITION_SQL = rf"""
 def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+        "doc_id", F.split(F.trim(F.col("text")), WS_CLASS).alias("w")
     )
     exploded = toks.select(
         F.posexplode(F.slice("w", 1, _MAX_POS)).alias("pos", "tok")

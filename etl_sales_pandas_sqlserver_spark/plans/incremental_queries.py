@@ -108,9 +108,11 @@ STATUS_RUNS_SQL = """
   WITH seq AS (
     SELECT o_custkey, o_orderstatus,
            row_number() OVER (PARTITION BY o_custkey
-                              ORDER BY o_orderdate, o_orderkey)
+                              ORDER BY o_orderdate NULLS FIRST,
+                                       o_orderkey NULLS FIRST)
            - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
-                                ORDER BY o_orderdate, o_orderkey) AS grp
+                                ORDER BY o_orderdate NULLS FIRST,
+                                         o_orderkey NULLS FIRST) AS grp
     FROM orders
   ),
   islands AS (

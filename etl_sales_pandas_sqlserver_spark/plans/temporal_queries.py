@@ -340,7 +340,8 @@ SCD2_SQL = f"""
              epoch_us(o_orderdate) AS change_us,
              {_PRIORITY_SEGMENT} AS segment,
              row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderdate, o_orderkey) AS rn
+                                ORDER BY o_orderdate NULLS FIRST,
+                                         o_orderkey NULLS FIRST) AS rn
       FROM orders
     ) WHERE rn <= 3
   ),
@@ -597,7 +598,7 @@ ZSCORE_ANOMALY_SQL = """
            sum(v_cents) OVER win AS s,
            sum(v_cents * v_cents) OVER win AS q
     FROM x
-    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
   )
   SELECT user_id, event_id, ts_us, v_cents, c AS n_window,

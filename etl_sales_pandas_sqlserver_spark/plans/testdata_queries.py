@@ -360,7 +360,8 @@ _DEDUP_KEEP_FIRST_SQL = """
          o_totalprice AS totalprice
   FROM orders
   QUALIFY row_number() OVER (
-    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) = 1
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST) = 1
 """
 
 

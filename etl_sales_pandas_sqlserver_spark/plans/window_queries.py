@@ -43,7 +43,7 @@ MOVING_AVG_SQL = """
                 OVER w AS DOUBLE)
            / COUNT(*) OVER w AS moving_avg
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
   ORDER BY event_id
 """
@@ -115,11 +115,12 @@ FIRST_LAST_SQL = """
            last_value(event_type)  OVER w AS last_type,
            COUNT(*) OVER w AS n_events
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
   )
   SELECT user_id, first_type, last_type, n_events,
-         ntile(4) OVER (ORDER BY n_events DESC, user_id) AS activity_quartile
+         ntile(4) OVER (ORDER BY n_events DESC, user_id NULLS FIRST)
+           AS activity_quartile
   FROM per_user
   ORDER BY user_id
 """
@@ -294,7 +295,8 @@ _DECILE_PARTS = 32
 DECILE_STATS_SQL = f"""
   WITH d AS (
     SELECT o_totalprice,
-           ntile({_N_DECILES}) OVER (ORDER BY o_totalprice, o_orderkey)
+           ntile({_N_DECILES}) OVER (ORDER BY o_totalprice NULLS FIRST,
+                                     o_orderkey NULLS FIRST)
              AS decile
     FROM orders
   )

@@ -182,6 +182,56 @@ def test_kept_equals_capstone_census_with_null_text(spark, tmp_path):
     assert kept.n_docs == census.n == 2
 
 
+def test_vertical_tab_token_grain_desync_is_pinned(spark, tmp_path):
+    """r14 ADVICE #2 pin: funnel counts tokens on tokcount.WS_CLASS
+    (\\x0B is NOT a separator) while traindata's curation gate still
+    splits on Java ``\\s+`` (\\x0B IS one) until its r16 drain-round
+    respell. On a vertical-tab doc the two disagree: WS_CLASS sees 4
+    tokens (< _MIN_TOKENS -> funnel says too_short) but the capstone
+    gate sees 8 (kept), so 'kept' != census — the ONLY corpus shape on
+    which the never-disagree invariant is suspended, tripwired by
+    test_tokcount's no-\\x0B testdata guard. When the r16 traindata
+    respell lands, this test FAILS loudly — then flip the assertion to
+    agreement and fold the doc into the census test above."""
+    from etl_sales_pandas_sqlserver_spark.functions.funnel import (
+        q_funnel_stages,
+    )
+    from etl_sales_pandas_sqlserver_spark.functions.traindata import (
+        q_corpus_curation,
+    )
+
+    long = "alpha beta gamma delta epsilon zeta"
+    vt = "a\x0bb c\x0bd e\x0bf g\x0bh"  # 4 WS_CLASS tokens, 8 \s+ tokens
+    docs = [(1, long + " one"), (2, vt), (10, long + " eval")]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([i for i, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array(["s"] * len(docs), pa.string()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    d = tmp_path / "vtab"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    rows = {r.stage: r for r in q_funnel_stages(spark, str(d)).collect()}
+    census = (
+        q_corpus_curation(spark, str(d))
+        .agg(F.sum("n_docs").alias("n"))
+        .collect()[0]
+    )
+    # funnel: vt doc is too_short (4 < 5), kept == 1; capstone: the
+    # \s+ gate sees 8 tokens and KEEPS it, census == 2
+    assert rows["too_short"].n_docs == 1
+    assert rows["kept"].n_docs == 1
+    assert census.n == 2, (
+        "traindata's token gate now agrees with the funnel on \\x0B — "
+        "the r16 WS_CLASS respell landed; flip this pin to agreement"
+    )
+
+
 def test_null_doc_id_vanishes_identically_on_both_engines(
     spark, tmp_path
 ):

@@ -72,6 +72,16 @@ _ROBUST = [
     "quality_percentile_by_source",
     "training_order_global_index",
     "dataset_card_by_source",
+    # fixed r15 (zero-slot, r11 in-window): null-text docs must emit
+    # ZERO position rows as posexplode(NULL) does; DuckDB's least()
+    # SKIPS nulls so the oracle needed `WHERE w IS NOT NULL` to stop
+    # len(NULL) -> least(NULL, 32) = 32 phantom positions
+    "token_position_profile",
+    # fixed r15 (fronted): the manifest's global order IS doc_id, so
+    # id-less docs are excluded on both engines; packing spells
+    # NULLS FIRST in its per-lang cumsum ORDER BY
+    "shard_manifest_tokens",
+    "pack_training_sequences",
 ]
 
 #: queries that are KNOWN to crash or diverge on null document fields
@@ -84,12 +94,8 @@ _KNOWN_NOT_GREEN = [
     "importance_weights_ngram",
     # ANSI divide-by-zero
     "token_salience",
-    # null doc_id through ordering / prefix sums (remaining members:
-    # all r11/r12-vintage — same NULLS FIRST respell lands with their
-    # drain rounds, like the four fixed in r14)
-    "token_position_profile",
-    "shard_manifest_tokens",
-    "pack_training_sequences",
+    # (r15: the null-doc_id prefix-sum class emptied — shard manifest
+    # and packing moved to the robust list above)
 ]
 
 

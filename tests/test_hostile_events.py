@@ -19,17 +19,13 @@ found three tiers, mirrors of the embeddings audit
    null-safely (a plain equi join dropped the NULL-event_type group
    the oracle's GROUP BY keeps).
 
-3. **Known, documented divergences, deferred** (the \\x0B pattern —
-   all five are r11/r12-vintage, so a fix would evict r9 drains from
-   the r13 window; they become zero-slot fixes when their cohorts
-   drain in r14/r15): the lag/lead/rows-window families order by a
-   nullable ts (``window_event_deltas``, ``window_moving_avg_7``,
-   ``window_zscore_anomaly``, ``window_first_last_touch``) and the
-   as-of join's ordering sees the same NULLS FIRST/LAST split
-   (``asof_join_clicks_purchases``). Latent-only: the tripwire below
-   asserts driver events carry no NULL ts/user_id/event_type at any
-   scale. The respell (explicit ``ts IS NOT NULL`` or ``NULLS FIRST``
-   on both engines) is recorded in NOTES_r13.md.
+3. **Known divergences: all fixed.** The lag/lead/rows-window
+   families (``window_event_deltas``, ``window_moving_avg_7``,
+   ``window_zscore_anomaly``, ``window_first_last_touch``) got their
+   ``NULLS FIRST`` oracle respell in r15 (fronted into the r15 window
+   alongside the r11 drain) and the as-of join excluded clock-less
+   clicks on both engines in r14 — the known-divergent list is empty.
+   The null-free-events tripwire below stays as the regression canary.
 """
 
 from __future__ import annotations
@@ -71,17 +67,18 @@ _ROBUST = [
     # NULLS FIRST running last() while DuckDB's ASOF inequality never
     # matched it
     "asof_join_clicks_purchases",
-]
-
-#: remaining members are all r12-vintage — the same explicit
-#: ``ts IS NOT NULL`` / NULLS-alignment respell lands with their
-#: drain round (r15), like asof_join did with its r14 slot
-_KNOWN_DIVERGENT = [
+    # fixed r15: NULLS FIRST spelled into the window ORDER BYs (ts,
+    # value, and first_last's user_id ntile key) — Spark's window
+    # default, now explicit in the DuckDB oracles
     "window_event_deltas",
     "window_first_last_touch",
     "window_moving_avg_7",
     "window_zscore_anomaly",
 ]
+
+#: r15: empty — every former member got its NULLS-alignment respell
+#: (kept as the landing spot if a future events query regresses)
+_KNOWN_DIVERGENT: list[str] = []
 
 
 @pytest.fixture(autouse=True)

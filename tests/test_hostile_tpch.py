@@ -11,14 +11,14 @@ statuses and names came back **180 green / 5 divergent**:
   form the same groups, and the sales pipeline's synth_sales_raw
   already models null propagation (Layer A's whole design).
 
-- Known divergences, all five r11/r12-vintage (fixing now would evict
-  r9 drains from the r13 window; each becomes a ZERO-SLOT fix when its
-  cohort drains — r11 in r14's window, r12 in r15's; see NOTES_r13.md):
+- Known divergences: the original five were all the nullable-ORDER-BY
+  class (Spark windows default NULLS FIRST, DuckDB NULLS LAST). r15
+  respelled ``NULLS FIRST`` into the oracles of
   ``decile_stats_order_price``, ``dedup_keep_first``,
-  ``scd2_customer_versions``, ``status_run_histogram``,
-  ``temporal_dim_join_segments`` — every one is the nullable-ORDER-BY
-  class (Spark windows default NULLS FIRST, DuckDB NULLS LAST), the
-  same root cause as the five deferred events divergences.
+  ``scd2_customer_versions``, ``status_run_histogram`` and
+  ``temporal_dim_join_segments`` (the r12 members fronted into the
+  r15 window alongside the r11 drain) — ALL five moved to the robust
+  slice; the known-divergent list is empty.
 
 - Tripwire: driver orders/lineitem/customer (and the other TPC-H
   tables) carry ZERO nulls in ANY column at every sf — verified
@@ -65,15 +65,17 @@ _ROBUST = [
     "clean_valid_sales",
     "categorize_invalid_sales",
     "monthly_summary",
-]
-
-_KNOWN_DIVERGENT = [
+    # r15 NULLS FIRST oracle respells (previously _KNOWN_DIVERGENT)
     "decile_stats_order_price",
     "dedup_keep_first",
     "scd2_customer_versions",
-    "status_run_histogram",
     "temporal_dim_join_segments",
+    "status_run_histogram",
 ]
+
+#: r15: empty — every former member got its NULLS FIRST respell
+#: (kept as the landing spot if a future tpch query regresses)
+_KNOWN_DIVERGENT: list[str] = []
 
 
 @pytest.fixture(autouse=True)

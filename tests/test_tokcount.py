@@ -68,9 +68,10 @@ def test_vertical_tab_agrees_after_the_r14_respell(spark):
 
 
 def test_testdata_contains_no_vertical_tab():
-    """The \\x0B exclusion tripwire STAYS after the r14 token-grain
-    respell: other families (textstats/source_stats per-token sites,
-    the fingerprint pair, traindata/bpe/array_queries) still split on
+    """The \\x0B exclusion tripwire STAYS after the r14/r15 token-grain
+    respells (r15 closed bpe and array_queries): the remaining
+    families (textstats/source_stats/batching per-token sites, the
+    fingerprint pair, traindata's curation gate) still split on
     literal ``'\\s+'`` until their drain rounds, so their divergence
     remains latent only while the driver testdata carries no vertical
     tab. If the driver ever regenerates testdata with \\x0B in it,

@@ -191,9 +191,13 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
 
     q, o = e.queries(), e.oracle_sql()
+    only = {s for s in os.environ.get(
+        "SPARK_GRAFT_SWEEP_ONLY", "").split(",") if s}
     res = {"green": [], "mismatch": [], "spark_error": {},
            "oracle_error": {}, "rows_only": []}
     for name, fn in q.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, d).toPandas()
         except Exception as ex:
