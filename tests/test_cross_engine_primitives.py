@@ -377,3 +377,46 @@ def test_explicit_ws_class_has_zero_divergence(spark_probe, con):
     ]
     diff = [ord(p[1]) for p, a, b in zip(probes, sl, dl) if a != b]
     assert diff == []
+
+
+def test_default_window_null_ordering_diverges_asc_agrees_desc(
+    spark_probe, con
+):
+    """The r14/r15 NULLS FIRST oracle-respell campaign rests on this
+    asymmetry — pin it so an engine upgrade that changes either
+    default fails loudly:
+
+    - ASC (the default): Spark windows sort nulls FIRST, DuckDB
+      LAST -> every oracle ORDER BY over a nullable ASC key must
+      spell NULLS FIRST;
+    - DESC: both engines sort nulls LAST -> no annotation needed
+      (first_last_touch's `n_events DESC` leg relies on this).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(1, 10), (2, None), (3, 5)]
+    sdf = spark_probe.createDataFrame(rows, "id int, k int")
+
+    def spark_order(w):
+        out = sdf.select("id", F.row_number().over(w).alias("rn")).collect()
+        return [r.id for r in sorted(out, key=lambda r: r.rn)]
+
+    def duck_order(order_by):
+        got = con.execute(
+            "SELECT id FROM (VALUES (1, 10), (2, NULL), (3, 5))"
+            f" t(id, k) ORDER BY row_number() OVER (ORDER BY {order_by})"
+        ).fetchall()
+        return [r[0] for r in got]
+
+    # ASC: divergent defaults (Spark nulls first, DuckDB nulls last)
+    asc_spark = spark_order(Window.orderBy("k"))
+    assert asc_spark == [2, 3, 1]
+    assert duck_order("k") == [3, 1, 2]
+    # ... and NULLS FIRST makes DuckDB match Spark's default exactly
+    assert duck_order("k NULLS FIRST") == asc_spark
+
+    # DESC: agreeing defaults (both nulls last)
+    desc_spark = spark_order(Window.orderBy(F.col("k").desc()))
+    assert desc_spark == [1, 3, 2]
+    assert duck_order("k DESC") == desc_spark
