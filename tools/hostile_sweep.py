@@ -138,15 +138,21 @@ def _poison(kind: str, d: str) -> list[str]:
         ) TO '{d}/customer.parquet' (FORMAT PARQUET)
         """)
         return ["orders", "lineitem", "customer"]
-    if kind == "embeddings":
+    if kind in ("embeddings", "embeddings_ragged"):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         tbl = pq.read_table(f"{SF}/embeddings.parquet")
         dim = len(tbl.column("embedding")[0])
         embs = [[v.as_py() for v in row] for row in tbl.column("embedding")]
-        embs[-1] = [0.0] * dim
-        embs[-2] = [None] + [0.1] * (dim - 1)
+        if kind == "embeddings_ragged":
+            # r15 axis: empty + wrong-dimension vectors (the fixed-dim
+            # contract violation; see test_hostile_embeddings_ragged)
+            embs[-1] = []
+            embs[-2] = [0.25] * (dim // 2)
+        else:
+            embs[-1] = [0.0] * dim
+            embs[-2] = [None] + [0.1] * (dim - 1)
         out = pa.table({
             "vec_id": tbl.column("vec_id"),
             "embedding": pa.array(embs, pa.list_(pa.float32())),

@@ -25,8 +25,10 @@ WINDOW = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 
 def main() -> int:
     from etl_sales_pandas_sqlserver_spark.plans.rotation import (
+        Fingerprinter,
         load_manifest,
         ordered_names,
+        worktree_reader,
     )
     from etl_sales_pandas_sqlserver_spark.plans.testdata_queries import (
         QUERIES,
@@ -35,6 +37,33 @@ def main() -> int:
     order = ordered_names(QUERIES)
     man = load_manifest()
     window, rest = order[:WINDOW], order[WINDOW:]
+
+    # own-fingerprint audit: exactly the queries that FRONT (tier 1 of
+    # the rotation sort) — the round's slot spend, printed so the
+    # budget check needs no hand-rolled script
+    fper = Fingerprinter(worktree_reader)
+    own_changed: list[tuple[str, str]] = []
+    for name, (fn, _sql) in QUERIES.items():
+        e = man.get(name) or {}
+        own = fper.query_own_fingerprint(fn.__module__, fn.__qualname__)
+        if e.get("head_own_fingerprint") != own or (
+            e.get("own_fingerprint") and e["own_fingerprint"] != own
+        ):
+            lg = e.get("last_green_round")
+            own_changed.append((f"r{lg}" if lg else "new", name))
+    if own_changed:
+        oldest_v = min(
+            (e["last_green_round"] for e in man.values()), default=0
+        )
+        spend = sum(
+            1 for v, _ in own_changed if v != f"r{oldest_v}"
+        )
+        print(
+            f"own-changed (fronting) [{len(own_changed)}; "
+            f"{spend} non-r{oldest_v} = slot spend]:"
+        )
+        for v, n in sorted(own_changed):
+            print(f"  {v:>4} {n}")
 
     def vintage(name: str) -> str:
         e = man.get(name)
