@@ -63,6 +63,21 @@ def _poison(kind: str, d: str) -> list[str]:
         ) TO '{d}/documents.parquet' (FORMAT PARQUET)
         """)
         return ["documents"]
+    if kind == "documents_dupid":
+        # r15 axis: doc_id uniqueness violation — one existing id
+        # duplicated with DIFFERENT text (the nastier shape: ties in
+        # every ORDER BY doc_id become real, and fingerprints differ
+        # within the id). Aggregated outputs must stay deterministic.
+        con.execute(f"""
+        COPY (
+          SELECT * FROM '{SF}/documents.parquet'
+          UNION ALL SELECT doc_id,
+            'different text for the duplicated id with enough tokens',
+            lang, source, 55
+          FROM '{SF}/documents.parquet' ORDER BY doc_id LIMIT 1
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """)
+        return ["documents"]
     if kind == "tpch":
         con.execute(f"""
         COPY (
