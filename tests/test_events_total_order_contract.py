@@ -38,3 +38,36 @@ def test_driver_events_have_unique_event_ids():
             "families' (ts, event_id) total order is no longer total; "
             "tied ROWS frames are engine/partitioning-dependent"
         )
+
+
+def test_driver_tpch_tables_have_unique_primary_keys():
+    """The same total-order contract on the TPC-H side: keep-first
+    dedup, SCD2 versioning and the gaps-and-islands runs all
+    tiebreak on o_orderkey. A duplicated key would make those ties
+    engine/partitioning-dependent exactly like a duplicated event_id,
+    so pin the uniqueness the queries assume.
+
+    Deliberately NOT pinned: lineitem's TPC-H composite
+    ``(l_orderkey, l_linenumber)`` — writing this tripwire found the
+    driver's synthetic lineitem carries DUPLICATE composites (1401 at
+    sf0.001), i.e. it is a fact table, not a keyed one, in this
+    testdata. No registered query assumes that composite is unique
+    (lineitem only flows through aggregations and orderkey equi-joins,
+    both duplicate-safe); any future query that wants a lineitem
+    keep-first/window MUST build its own total order."""
+    con = duckdb.connect()
+    pks = {
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "part": "p_partkey",
+        "supplier": "s_suppkey",
+        "nation": "n_nationkey",
+        "region": "r_regionkey",
+    }
+    for d in sorted(glob.glob("/root/testdata/sf*")):
+        for t, pk in pks.items():
+            p = f"{d}/{t}.parquet"
+            n, n_pk = con.execute(
+                f"SELECT count(*), count(DISTINCT {pk}) FROM '{p}'"
+            ).fetchone()
+            assert n == n_pk, f"{p}: {n - n_pk} duplicate {pk}"
