@@ -42,28 +42,34 @@ def main() -> int:
     # the rotation sort) — the round's slot spend, printed so the
     # budget check needs no hand-rolled script
     fper = Fingerprinter(worktree_reader)
-    own_changed: list[tuple[str, str]] = []
+    own_changed: list[tuple[str, str, str]] = []
     for name, (fn, _sql) in QUERIES.items():
         e = man.get(name) or {}
         own = fper.query_own_fingerprint(fn.__module__, fn.__qualname__)
-        if e.get("head_own_fingerprint") != own or (
-            e.get("own_fingerprint") and e["own_fingerprint"] != own
-        ):
+        # Two distinct triggers, printed apart so a stale manifest is
+        # visible: "head-stale" = the manifest's head_* field no longer
+        # matches the worktree (regenerate the manifest to clear);
+        # "changed-since-green" = the code really differs from what the
+        # last green round verified (a genuine slot spend).
+        head_stale = e.get("head_own_fingerprint") != own
+        changed = bool(e.get("own_fingerprint")) and e["own_fingerprint"] != own
+        if head_stale or changed:
             lg = e.get("last_green_round")
-            own_changed.append((f"r{lg}" if lg else "new", name))
+            why = "changed-since-green" if changed else "head-stale"
+            own_changed.append((f"r{lg}" if lg else "new", name, why))
     if own_changed:
         oldest_v = min(
             (e["last_green_round"] for e in man.values()), default=0
         )
         spend = sum(
-            1 for v, _ in own_changed if v != f"r{oldest_v}"
+            1 for v, _, _ in own_changed if v != f"r{oldest_v}"
         )
         print(
             f"own-changed (fronting) [{len(own_changed)}; "
             f"{spend} non-r{oldest_v} = slot spend]:"
         )
-        for v, n in sorted(own_changed):
-            print(f"  {v:>4} {n}")
+        for v, n, why in sorted(own_changed):
+            print(f"  {v:>4} {n} [{why}]")
 
     def vintage(name: str) -> str:
         e = man.get(name)
