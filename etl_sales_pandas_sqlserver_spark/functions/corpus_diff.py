@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
 from .textstats import fingerprint_col
+from .tokcount import WS_CLASS
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -110,7 +111,9 @@ def q_corpus_churn_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FP_SQL = r"md5(lower(trim(regexp_replace({t}, '\s+', ' ', 'g'))))"
+_FP_SQL = (
+    "md5(lower(trim(regexp_replace({t}, '" + WS_CLASS + "', ' ', 'g'))))"
+)
 
 _DIFF_CTE = f"""
   old AS (

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
 from .tokcount import N_TOKENS_SQL as _N_TOKENS_SQL
+from .tokcount import WS_CLASS as _WS_CLASS
 from .tokcount import n_tokens_spark as _n_tokens_col
 from .histograms import _BIN_CAP_SPARK, _BIN_CAP_SQL, ceil_rank_cap_agg
 from .intmath import PPM as _PPM, exact_ppm_spark, exact_ppm_sql
@@ -71,7 +72,7 @@ _BASE_SQL = rf"""
     SELECT source, lang,
            CAST(n_chars AS BIGINT) AS n,
            CAST({_N_TOKENS_SQL} AS BIGINT) AS tok,
-           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           md5(lower(trim(regexp_replace(text, '{_WS_CLASS}', ' ', 'g')))) AS fp
     FROM documents
 """
 

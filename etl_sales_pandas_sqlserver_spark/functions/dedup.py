@@ -78,10 +78,9 @@ _HASH_SHIFT = 2_147_483_648  # 2^31
 #: disagreed on vertical-tab documents. The class is defined ONCE in
 #: functions/tokcount.py (the token-grain home, same hoist discipline
 #: as N_TOKENS_SQL) and proven cross-engine-identical over every
-#: Unicode codepoint. The remaining ``\s+`` site in this module
-#: (EXACT_DEDUP_SQL's fingerprint, paired with
-#: textstats.fingerprint_col) respells with the textstats cohort's
-#: drain round — see NOTES_r14.md for the site-by-round table.
+#: Unicode codepoint. r16: EXACT_DEDUP_SQL's fingerprint (paired with
+#: textstats.fingerprint_col) now also interpolates this class — the
+#: module has no ``\s+`` site left.
 _WS_CLASS = WS_CLASS
 
 # ---------------------------------------------------------------------------
@@ -178,10 +177,10 @@ def _verify_jaccard(cand: DataFrame, sh: DataFrame) -> DataFrame:
 # 1. Exact dedup: content-hash group-by, keep the lowest doc_id.
 # ---------------------------------------------------------------------------
 
-EXACT_DEDUP_SQL = r"""
+EXACT_DEDUP_SQL = rf"""
   WITH f AS (
     SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+           md5(lower(trim(regexp_replace(text, '{_WS_CLASS}', ' ', 'g')))) AS fingerprint
     FROM documents
   )
   SELECT min(doc_id) AS keep_doc_id, fingerprint, COUNT(*) AS n_copies

@@ -53,7 +53,7 @@ from ..sources.testdata import load_table
 from .dedup import DECONTAMINATE_SQL, q_decontaminate
 from .intmath import exact_ppm_spark, exact_ppm_sql
 from .textstats import fingerprint_col
-from .tokcount import N_TOKENS_SQL, n_tokens_spark
+from .tokcount import N_TOKENS_SQL, WS_CLASS, n_tokens_spark
 from .traindata import _MIN_TOKENS
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
@@ -193,7 +193,7 @@ _STAGED_CTE = f"""
   pool AS (
     SELECT doc_id, source,
            CAST({N_TOKENS_SQL} AS BIGINT) AS n_tok,
-           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+           md5(lower(trim(regexp_replace(text, '{WS_CLASS}', ' ', 'g')))) AS fingerprint
     FROM documents WHERE doc_id % 10 <> 0
   ),
   ranked AS (

@@ -49,6 +49,7 @@ from ..sources.testdata import load_table
 from .dedup import _doc_shingles
 from .intmath import exact_ppm_spark, exact_ppm_sql
 from .textstats import _TOKEN_SPLIT, fingerprint_col
+from .tokcount import WS_CLASS
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -114,10 +115,10 @@ def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 2. Per-source exact-duplicate rate rollup.
 # ---------------------------------------------------------------------------
 
-DEDUP_RATE_SQL = r"""
+DEDUP_RATE_SQL = rf"""
   WITH d AS (
     SELECT source,
-           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+           md5(lower(trim(regexp_replace(text, '{WS_CLASS}', ' ', 'g')))) AS fp
     FROM documents
   ),
   g AS (SELECT fp, COUNT(*) AS cnt FROM d GROUP BY fp)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..cache import managed_cache
 from ..sources.testdata import load_table
+from .tokcount import WS_CHARS, WS_CLASS
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
@@ -31,9 +32,12 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 _TOKEN_SPLIT = r"\s+"
 
 #: BPE-ish surface tokenizer: runs of lowercase alnum OR a single
-#: non-alnum-non-space char. Same RE2-compatible pattern on both
-#: engines.
-_RE_TOKEN = "[a-z0-9]+|[^a-z0-9\\s]"
+#: non-alnum-non-whitespace char. The whitespace exclusion is the
+#: explicit ``tokcount.WS_CLASS`` set, not ``\s`` (r16: Java's ``\s``
+#: includes U+000B where RE2's does not, so the engines disagreed on
+#: whether a vertical tab is a token char -- same grain unification
+#: as the fingerprint spelling).
+_RE_TOKEN = f"[a-z0-9]+|[^a-z0-9{WS_CHARS}]"
 
 #: tiny function-word lists for the language-ID heuristic. Overlaps
 #: (de/la appear in several Romance lists) are fine -- scoring is
@@ -259,10 +263,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    (group sizes) via one window over the fingerprint.
 # ---------------------------------------------------------------------------
 
-FINGERPRINT_SQL = """
+FINGERPRINT_SQL = f"""
   WITH f AS (
     SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+           md5(lower(trim(regexp_replace(text, '{WS_CLASS}', ' ', 'g')))) AS fingerprint
     FROM documents
   )
   SELECT doc_id, fingerprint,
@@ -274,8 +278,13 @@ FINGERPRINT_SQL = """
 
 def fingerprint_col(col: str = "text"):
     """md5 of lowercase whitespace-collapsed text -- the content key
-    used by exact dedup (dedup.py) and this query."""
-    return F.md5(F.lower(F.trim(F.regexp_replace(F.col(col), r"\s+", " "))))
+    used by exact dedup (dedup.py) and this query. Whitespace is the
+    explicit ``tokcount.WS_CLASS`` grain (r16: was Java ``\\s+``,
+    which collapses U+000B where the oracle's RE2 ``\\s+`` does not --
+    the last silent-wrong-answer divergence class; now both engines
+    share one spelling, flipped atomically with every SQL site that
+    pins this spelling character-identical)."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(F.col(col), WS_CLASS, " "))))
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,9 +390,9 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # only (doc_id, text) through codegen and emits fixed-width scores.
 # ---------------------------------------------------------------------------
 
-TEXT_REPETITION_SQL = r"""
+TEXT_REPETITION_SQL = rf"""
   WITH toks AS (
-    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+    SELECT doc_id, regexp_split_to_array(trim(text), '{WS_CLASS}') AS w
     FROM documents
   ),
   grams AS (
@@ -415,7 +424,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
       END
     """
     g = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+        "doc_id", F.split(F.trim(F.col("text")), WS_CLASS).alias("w")
     ).select("doc_id", F.expr(grams_expr).alias("g"))
     n = F.size("g").cast("long")
     nd = F.size(F.array_distinct("g")).cast("long")

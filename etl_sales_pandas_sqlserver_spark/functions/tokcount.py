@@ -27,10 +27,30 @@ no-op and only Spark's \\x0B behavior changed (to match the oracle).
 Zero cross-engine divergence over every Unicode codepoint is proven
 by tests/test_cross_engine_primitives.py::
 test_explicit_ws_class_has_zero_divergence, and the fragment-level
-agreement (vertical tab included) by tests/test_tokcount.py. The
-no-\\x0B testdata tripwire stays: OTHER families still split on
-literal ``'\\s+'`` sites scheduled to respell with their drain rounds
-(site table in NOTES_r14.md).
+agreement (vertical tab included) by tests/test_tokcount.py.
+
+r16: the 8-site fingerprint spelling
+(``md5(lower(trim(regexp_replace(text, WS_CLASS, ' '))))`` across
+textstats/dedup/traindata/source_stats/dataset_cards/corpus_diff/
+funnel), traindata's curation token gate, textstats' repetition pair
+and ``_RE_TOKEN`` all interpolate this class now. The no-\\x0B
+testdata tripwire stays for the LAST ``\\s+`` family:
+``textstats._TOKEN_SPLIT`` plus the batching.py OOV_RATE_SQL and
+source_stats.py contamination-shingle literals bound to it — an
+ATOMIC set (the Spark sides import the symbol, so a value respell
+without the paired literal flips would desync those queries), r17
+with their owners' drain.
+
+Cross-family grain caveat (r15 ADVICE): ``shard_manifest_tokens``
+excludes null-``doc_id`` documents on both engines — a manifest whose
+global order IS doc_id cannot place an id-less document — while the
+sibling token-grain families (token_budget_waterfill, release totals,
+this module's raw counts) still include them. On data with null
+doc_ids, shard-manifest token totals therefore run LOW relative to
+budget/release totals by exactly the null-id documents' tokens. The
+exclusion is deliberate and documented at sharding.py's query; the
+same ``isNotNull`` respell is scheduled for the other doc_id-ordered
+token families in their drain rounds if a single grain is wanted.
 """
 
 from __future__ import annotations
@@ -38,11 +58,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: The whitespace character SET (class interior) — shared so a
+#: negated class (e.g. textstats._RE_TOKEN's "non-whitespace token
+#: char") spells the same five characters as the positive split class.
+WS_CHARS = r" \t\n\f\r"
+
 #: The EXPLICIT whitespace class — identical under Java regex (Spark)
 #: and RE2 (DuckDB): proven zero-divergence over every Unicode
 #: codepoint. This is the respell TARGET for every ``\s+`` site; new
 #: token sites must use this class from day one.
-WS_CLASS = r"[ \t\n\f\r]+"
+WS_CLASS = f"[{WS_CHARS}]+"
 
 N_TOKENS_SQL = rf"len(regexp_split_to_array(trim(text), '{WS_CLASS}'))"
 

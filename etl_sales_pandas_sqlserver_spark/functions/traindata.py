@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
+from .tokcount import WS_CLASS
 
 # ---------------------------------------------------------------------------
 # Deterministic hash split: md5(doc_id) -> bucket 0..99 -> 80/10/10.
@@ -175,13 +176,13 @@ TOKEN_SALIENCE_SQL = """
     SELECT doc_id, t.token AS token
     FROM documents,
          unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(token)
-    WHERE t.token <> ''
+    WHERE t.token <> '' AND doc_id IS NOT NULL
   ),
   stats AS (
     SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
     FROM toks GROUP BY token
   ),
-  n AS (SELECT COUNT(*) AS n_docs FROM documents)
+  n AS (SELECT COUNT(*) AS n_docs FROM documents WHERE doc_id IS NOT NULL)
   SELECT token, tf, df,
          CAST(tf * n.n_docs AS DOUBLE) / df AS salience
   FROM stats, n
@@ -191,7 +192,15 @@ TOKEN_SALIENCE_SQL = """
 
 
 def q_token_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # id-less documents are excluded on BOTH engines (r16): df counts
+    # DISTINCT doc_id, which skips NULLs, so a token seen only in an
+    # id-less doc would carry df = 0 -- Spark's ANSI division raises
+    # where DuckDB flows inf. Same exclusion rationale as
+    # shard_manifest_tokens: the doc can't be attributed, so it is not
+    # part of the salience universe (tf, df, AND N agree on that).
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
     toks = docs.select("doc_id", F.explode(_tokens()).alias("token"))
     stats = toks.groupBy("token").agg(
         F.count(F.lit(1)).alias("tf"),
@@ -474,8 +483,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
     )
-    # 2. quality gate: drop fragments with too few tokens
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    # 2. quality gate: drop fragments with too few tokens -- the
+    # explicit WS_CLASS grain (r16), ONE token definition with the
+    # funnel audit's census (tests/test_funnel.py pins agreement)
+    n_tokens = F.size(F.split(F.trim(F.col("text")), WS_CLASS))
     kept = deduped.filter(n_tokens >= _MIN_TOKENS)
     # 3. decontamination: drop anything near-duplicating an eval doc
     contaminated = q_decontaminate(spark, sf_dir).select(
@@ -504,7 +515,7 @@ def _curation_sql() -> str:
     return f"""
   WITH pool AS (
     SELECT doc_id, lang, n_chars, text,
-           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+           md5(lower(trim(regexp_replace(text, '{WS_CLASS}', ' ', 'g')))) AS fingerprint
     FROM documents WHERE doc_id % 10 <> 0
   ),
   deduped AS (
@@ -513,7 +524,7 @@ def _curation_sql() -> str:
   ),
   kept AS (
     SELECT * FROM deduped
-    WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= {_MIN_TOKENS}
+    WHERE len(regexp_split_to_array(trim(text), '{WS_CLASS}')) >= {_MIN_TOKENS}
   ),
   contaminated AS (
     SELECT DISTINCT train_id AS doc_id FROM ({DECONTAMINATE_SQL}) c

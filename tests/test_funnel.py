@@ -31,7 +31,10 @@ def test_fingerprint_spelling_matches_textstats():
         FINGERPRINT_SQL,
     )
 
-    key = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+    # hardcoded on purpose: the pin must not follow tokcount.WS_CLASS
+    # automatically, or a WS_CLASS edit could silently move every
+    # spelling at once without this test noticing the grain changed
+    key = "md5(lower(trim(regexp_replace(text, '[ \\t\\n\\f\\r]+', ' ', 'g'))))"
     assert key in _normalize(FINGERPRINT_SQL)
     assert key in _normalize(_STAGED_CTE)
 
@@ -182,17 +185,17 @@ def test_kept_equals_capstone_census_with_null_text(spark, tmp_path):
     assert kept.n_docs == census.n == 2
 
 
-def test_vertical_tab_token_grain_desync_is_pinned(spark, tmp_path):
-    """r14 ADVICE #2 pin: funnel counts tokens on tokcount.WS_CLASS
-    (\\x0B is NOT a separator) while traindata's curation gate still
-    splits on Java ``\\s+`` (\\x0B IS one) until its r16 drain-round
-    respell. On a vertical-tab doc the two disagree: WS_CLASS sees 4
-    tokens (< _MIN_TOKENS -> funnel says too_short) but the capstone
-    gate sees 8 (kept), so 'kept' != census — the ONLY corpus shape on
-    which the never-disagree invariant is suspended, tripwired by
-    test_tokcount's no-\\x0B testdata guard. When the r16 traindata
-    respell lands, this test FAILS loudly — then flip the assertion to
-    agreement and fold the doc into the census test above."""
+def test_vertical_tab_token_grain_agrees(spark, tmp_path):
+    """r16: the traindata curation gate respelled to tokcount.WS_CLASS,
+    so the funnel audit and the capstone pipeline share ONE token
+    definition even on vertical-tab text — the r15 desync pin flips to
+    agreement (this test's previous incarnation asserted kept != census
+    on exactly this corpus while the gate still split on Java ``\\s+``).
+    Both now see 4 tokens in the \\x0B doc (< _MIN_TOKENS): funnel says
+    too_short AND the capstone gate drops it, kept == census == 1.
+    The per-stage gate count (4, not 8) is asserted explicitly so a
+    partial respell (one of the two grains flipping back) fails on the
+    number, not just the equality (r15 ADVICE)."""
     from etl_sales_pandas_sqlserver_spark.functions.funnel import (
         q_funnel_stages,
     )
@@ -222,14 +225,28 @@ def test_vertical_tab_token_grain_desync_is_pinned(spark, tmp_path):
         .agg(F.sum("n_docs").alias("n"))
         .collect()[0]
     )
-    # funnel: vt doc is too_short (4 < 5), kept == 1; capstone: the
-    # \s+ gate sees 8 tokens and KEEPS it, census == 2
+    # both grains: vt doc has 4 tokens (\x0B is NOT a separator),
+    # 4 < _MIN_TOKENS -> funnel too_short AND capstone-dropped
     assert rows["too_short"].n_docs == 1
     assert rows["kept"].n_docs == 1
-    assert census.n == 2, (
-        "traindata's token gate now agrees with the funnel on \\x0B — "
-        "the r16 WS_CLASS respell landed; flip this pin to agreement"
+    assert census.n == 1, (
+        "kept != census on a vertical-tab doc: the funnel audit and "
+        "the traindata curation gate no longer share one token grain"
     )
+    # the gate's own token count for the vt doc must be 4 on the
+    # WS_CLASS grain (8 would mean a Java-\s+ site crept back in)
+    from etl_sales_pandas_sqlserver_spark.functions.tokcount import (
+        n_tokens_spark,
+    )
+
+    n_vt = (
+        spark.read.parquet(str(d / "documents.parquet"))
+        .filter(F.col("doc_id") == 2)
+        .select(n_tokens_spark().alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert n_vt == 4
 
 
 def test_null_doc_id_vanishes_identically_on_both_engines(

@@ -18,12 +18,10 @@ Full 185-query sweep result: **172 green / 13 divergent-or-crash.**
 - Known divergent/crash set (pinned as NOT-green below, the \\x0B
   pattern): three multimodal kernels, ``text_diversity_stats`` and
   ``importance_weights_ngram`` raise from their Arrow kernels on a
-  None payload; ``token_salience`` hits an ANSI divide-by-zero;
-  seven more hash-mismatch through null doc_id ordering (shard/pack
-  prefix sums, training order) or a null source group dropped by an
-  equi join (the sketch_rollup fix class). Vintages span r10-r12, so
-  the respells are scheduled into the rounds their cohorts drain
-  (NOTES_r13.md) rather than evicting r9 drains from this window.
+  None payload — loud raises, the INTENDED surface for an
+  unreadable payload. Everything else has been fixed in its drain
+  round (r14: nullable ORDER BY; r15: phantom positions, shard/pack
+  prefix sums; r16: the token_salience divide-by-zero).
 
 - Tripwire: driver documents carry zero nulls in ANY column at every
   sf — fires before a testdata regeneration could surface any of the
@@ -82,6 +80,11 @@ _ROBUST = [
     # NULLS FIRST in its per-lang cumsum ORDER BY
     "shard_manifest_tokens",
     "pack_training_sequences",
+    # fixed r16 (in-drain, zero-slot): id-less docs excluded from the
+    # salience universe on both engines (tf, df, N) — a token seen
+    # only in an id-less doc carried df = 0, so Spark's ANSI division
+    # raised where DuckDB flowed inf
+    "token_salience",
 ]
 
 #: queries that are KNOWN to crash or diverge on null document fields
@@ -92,10 +95,9 @@ _KNOWN_NOT_GREEN = [
     "multimodal_wav_resample",
     "text_diversity_stats",
     "importance_weights_ngram",
-    # ANSI divide-by-zero
-    "token_salience",
     # (r15: the null-doc_id prefix-sum class emptied — shard manifest
-    # and packing moved to the robust list above)
+    # and packing moved to the robust list above; r16: token_salience
+    # divide-by-zero fixed, moved to robust)
 ]
 
 

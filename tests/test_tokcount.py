@@ -68,14 +68,16 @@ def test_vertical_tab_agrees_after_the_r14_respell(spark):
 
 
 def test_testdata_contains_no_vertical_tab():
-    """The \\x0B exclusion tripwire STAYS after the r14/r15 token-grain
-    respells (r15 closed bpe and array_queries): the remaining
-    families (textstats/source_stats/batching per-token sites, the
-    fingerprint pair, traindata's curation gate) still split on
-    literal ``'\\s+'`` until their drain rounds, so their divergence
-    remains latent only while the driver testdata carries no vertical
-    tab. If the driver ever regenerates testdata with \\x0B in it,
-    this fires before any oracle mismatch confuses a round."""
+    """The \\x0B exclusion tripwire STAYS after the r14/r15/r16
+    token-grain respells (r15 closed bpe and array_queries; r16 closed
+    the 8-site fingerprint group, traindata's curation gate, the
+    repetition pair, and _RE_TOKEN): the LAST remaining ``\\s+``
+    family — textstats._TOKEN_SPLIT and the batching/source_stats
+    token literals bound to it (atomic set, r17 with their owners'
+    drain) — still diverges on U+000B, latent only while the driver
+    testdata carries no vertical tab. If the driver ever regenerates
+    testdata with \\x0B in it, this fires before any oracle mismatch
+    confuses a round."""
     import os
 
     for sf in ("0.001", "0.01", "0.1"):
