@@ -25,6 +25,17 @@ import duckdb
 
 
 def test_driver_events_have_unique_event_ids():
+    """``count(DISTINCT event_id)`` EXCLUDES NULLs, so ``n == n_id``
+    proves two things at once: no duplicate ids AND no null ids
+    (a single NULL would make n_id < n). The second half is
+    load-bearing (r15 ADVICE): the event_id/o_orderkey TIEBREAK keys
+    in WINDOW_DELTAS_SQL / MOVING_AVG_SQL / ZSCORE_ANOMALY_SQL are
+    deliberately NOT annotated NULLS FIRST (only the primary ts/value
+    keys are), so a null id would re-open the nullable-ORDER-BY
+    divergence class — this tripwire fires on it first. The NULLS
+    FIRST respell of those tiebreak keys is scheduled with their
+    owners' drain round (they are r15-vintage; annotating them now
+    would front three queries for a purely cosmetic change)."""
     con = duckdb.connect()
     dirs = sorted(glob.glob("/root/testdata/sf*"))
     assert dirs, "driver testdata missing"

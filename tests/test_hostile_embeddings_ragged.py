@@ -130,11 +130,26 @@ def test_ragged_vectors_raise_loudly(spark, ragged_sf, name):
     """The fixed-dim contract violation must STOP the job — a raise is
     the pinned behavior. If this ever completes, either the kernel
     went shape-tolerant (then parity-check it and move it to _ROBUST)
-    or — worse — it silently emitted rows; compare before moving."""
+    or — worse — it silently emitted rows; compare before moving.
+
+    The raise is matched against the expected contract surfaces (r15
+    ADVICE: a bare ``pytest.raises(Exception)`` let a missing fixture
+    or a registry rename pass as the pin): numpy's inhomogeneous-
+    shape / broadcast errors out of the Arrow kernels, and Spark's
+    ANSI element_at out-of-bounds in the k-means quantizer. The
+    registry lookup happens OUTSIDE the raises block so a renamed
+    query fails the test instead of satisfying it."""
     import __spark_entry__ as e
 
-    with pytest.raises(Exception):
-        e.queries()[name](spark, ragged_sf).toPandas()
+    fn = e.queries()[name]  # KeyError here = test failure, not the pin
+    with pytest.raises(
+        Exception,
+        match=(
+            "INVALID_ARRAY_INDEX|inhomogeneous|could not broadcast"
+            "|setting an array element|stack|shape|dimension"
+        ),
+    ):
+        fn(spark, ragged_sf).toPandas()
 
 
 def test_driver_embeddings_are_uniform_dimension():
