@@ -63,6 +63,30 @@ def _poison(kind: str, d: str) -> list[str]:
         ) TO '{d}/documents.parquet' (FORMAT PARQUET)
         """)
         return ["documents"]
+    if kind == "documents_vtab":
+        # r16 axis: vertical-tab (U+000B) text — THE whitespace-grain
+        # divergence character (Java \s includes it, RE2's does not).
+        # The r16 WS_CLASS respells (fingerprint group, curation gate,
+        # repetition, _RE_TOKEN, plus the r14/r15 tokcount/bpe/array
+        # flips) must be GREEN here; the still-unflipped
+        # textstats._TOKEN_SPLIT family (r17 with its drain) is the
+        # expected-mismatch set pinned in tests/test_hostile_docs_vtab.
+        # Two shapes: \x0B INSIDE words (token-count sensitive) and a
+        # doc that differs from an existing one ONLY by \x0B-vs-space
+        # (fingerprint-collision sensitive).
+        con.execute(f"""
+        COPY (
+          SELECT * FROM '{SF}/documents.parquet'
+          UNION ALL SELECT 910001,
+            'alpha' || chr(11) || 'beta gamma' || chr(11) || 'delta epsilon zeta eta theta',
+            'en', 'web', 40
+          UNION ALL SELECT 910002,
+            (SELECT replace(text, ' ', chr(11)) FROM '{SF}/documents.parquet'
+             WHERE doc_id = 1),
+            'en', 'web', 40
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """)
+        return ["documents"]
     if kind == "documents_dupid":
         # r15 axis: doc_id uniqueness violation — one existing id
         # duplicated with DIFFERENT text (the nastier shape: ties in
