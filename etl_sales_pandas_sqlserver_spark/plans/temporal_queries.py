@@ -35,6 +35,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.finiteness import finite_value_col
 from ..operators.dates import epoch_us
 from ..sources.testdata import load_table
 
@@ -297,7 +298,10 @@ def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped.agg(
             F.grouping("hour_bucket").alias("g_hour"),
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)"))
+            # finiteness-guarded (r16): NaN/inf raises on BOTH engines
+            # instead of Spark's ANSI cast silently nulling it out of
+            # the sum while the oracle raises (functions/finiteness.py)
+            F.sum(finite_value_col().cast("decimal(28,6)"))
             .cast("double")
             .alias("total_value"),
         )
@@ -498,7 +502,8 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = ev.groupBy("event_type", "hour_bucket").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"),
+        # finiteness-guarded (r16): see functions/finiteness.py
+        F.sum(finite_value_col().cast("decimal(28,6)")).alias("sum_value"),
     )
     grid = (
         agg.groupBy("event_type")

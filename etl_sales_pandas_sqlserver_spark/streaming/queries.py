@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..functions.finiteness import finite_value_col
 from ..functions.tokcount import N_TOKENS_SQL as _N_TOKENS_SQL
 from ..functions.tokcount import n_tokens_spark as _n_tokens_spark
 from ..session import shuffle_partitions
@@ -146,7 +147,8 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("event_time", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)"))
+            # finiteness-guarded (r16): see functions/finiteness.py
+            F.sum(finite_value_col().cast("decimal(28,6)"))
             .cast("double")
             .alias("total_value"),
         )

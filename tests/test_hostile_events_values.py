@@ -13,16 +13,16 @@ ANSI conditions): **178 green / 0 mismatch / 3 both-engines-raise /
 - KNOWN DIVERGENCE, pinned (the NaN-embedding tier-3 pattern):
   Spark's ANSI ``CAST(double AS DECIMAL(28,6))`` silently yields NULL
   for NaN/±inf (only out-of-RANGE values raise; non-numeric specials
-  null out) while DuckDB raises a Conversion Error — so the five
-  DECIMAL(28,6)-sum queries (`stream_hourly_agg`,
-  `stream_session_window_native`, `stream_sliding_2h`,
-  `timeseries_gapfill_hourly`, `time_bucket_rollup`) complete on
-  Spark (NaN row's value drops from the SUM) where the oracle raises.
-  Latent-only: the tripwire below asserts driver events carry no
-  NaN/inf/out-of-envelope values at any sf. The eventual respell is
-  the kmeans-envelope pattern — an assert_true finiteness guard on
-  the value cast so BOTH engines raise — scheduled with each
-  consumer's drain round (NOTES_r14.md).
+  null out) while DuckDB raises a Conversion Error — so the
+  DECIMAL(28,6)-sum queries completed on Spark (NaN row's value
+  drops from the SUM) where the oracle raises. r16: THREE of the five
+  (`stream_hourly_agg`, `timeseries_gapfill_hourly`,
+  `time_bucket_rollup`) now carry the assert_true finiteness guard
+  (functions/finiteness.py, the kmeans-envelope pattern) and raise on
+  both engines; `stream_session_window_native` and `stream_sliding_2h`
+  follow in r17 with their drain. Latent-only meanwhile: the tripwire
+  below asserts driver events carry no NaN/inf/out-of-envelope values
+  at any sf.
 
 Everything else — NaN/inf through plain double aggs (propagate
 identically), epoch/2199 timestamps through hour/day bucketing and
@@ -68,17 +68,22 @@ _BOTH_ENGINES_RAISE = [
     "window_range_1h_load",
     "window_moving_avg_7",
     "window_zscore_anomaly",
+    # guarded r16 (functions/finiteness.py): the assert_true
+    # finiteness guard makes Spark raise on NaN/inf exactly where the
+    # oracle's DECIMAL cast raises — three of the five-member class
+    # pulled forward into r16's free window slots
+    "stream_hourly_agg",
+    "timeseries_gapfill_hourly",
+    "time_bucket_rollup",
 ]
 
 #: Spark completes (NaN/inf -> NULL under ANSI decimal cast), oracle
-#: raises — the documented divergence; a fix flips this loudly and
-#: the query moves to _ROBUST with a finiteness guard on both engines
+#: raises — the documented divergence; the finiteness guard
+#: (functions/finiteness.py, landed r16 on the other three members)
+#: flips each to _BOTH_ENGINES_RAISE in r17 with its drain
 _SPARK_NULLS_ORACLE_RAISES = [
-    "stream_hourly_agg",
     "stream_session_window_native",
     "stream_sliding_2h",
-    "timeseries_gapfill_hourly",
-    "time_bucket_rollup",
 ]
 
 
