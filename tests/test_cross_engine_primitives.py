@@ -169,6 +169,39 @@ def spark_probe():
     return spark
 
 
+def test_testdata_documents_avoid_lower_and_trim_divergent_chars():
+    """Tripwire (the no-\\x0B pattern, extended r16): the fingerprint
+    spelling md5(lower(trim(regexp_replace(text, WS_CLASS, ' '))))
+    is now grain-unified, but lower() and trim() THEMSELVES still
+    diverge on the pinned codepoint sets above (71 lower-divergent
+    letters; Zs-minus-space at string edges). A driver-testdata
+    regeneration that introduced any of those characters into
+    documents.text would surface as a confusing fingerprint hash
+    mismatch rather than a classified divergence — fire here first.
+    (Stronger than strictly needed: a mid-string Zs char only
+    diverges when it reaches an edge after whitespace collapse, but
+    driver text has carried none anywhere at any sf, so the simple
+    contains-check is the cheaper, earlier alarm.)"""
+    import glob
+
+    bad_chars = "".join(
+        chr(c) for c in _LOWER_DIVERGENT + _TRIM_DIVERGENT
+    )
+    pattern = "[" + bad_chars + "]"
+    dirs = sorted(glob.glob("/root/testdata/sf*"))
+    assert dirs, "driver testdata missing"
+    for d in dirs:
+        n = duckdb.sql(
+            "SELECT count(*) FROM read_parquet(?) "
+            "WHERE regexp_matches(text, ?)",
+            params=[f"{d}/documents.parquet", pattern],
+        ).fetchone()[0]
+        assert n == 0, (
+            f"{d}: {n} documents contain lower()/trim()-divergent "
+            "codepoints — the fingerprint family would hash-mismatch"
+        )
+
+
 def test_lower_divergent_codepoints_are_exactly_the_known_set(
     spark_probe, con
 ):
