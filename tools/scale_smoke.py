@@ -99,6 +99,13 @@ FAMILIES: dict[str, list[str]] = {
     # a 10x vocabulary (the quantity that must scale linearly); the
     # merge table stays a bounded 16-row collect at both scales
     "bpe_apply": ["bpe_apply_merges"],
+    # round-16: the freshly grain-unified fingerprint pipeline — one
+    # scan-side md5 per doc (regexp_replace + lower + trim fused into
+    # the projection) feeding the n_copies count window; 10x docs =>
+    # 10x fingerprint groups (replica suffixes keep within-replica
+    # collision structure identical), the window partitions by
+    # fingerprint so state per group is O(group size), never global
+    "fingerprint": ["text_fingerprint", "dedup_exact"],
 }
 
 #: round-8: hot-key families, run against the SKEWED 10x events
