@@ -28,11 +28,12 @@ On finite data the guard is a per-row predicate fused into the scan
 projection — no shuffle, no plan-shape change, value-identical
 results.
 
-Rollout: ``timeseries_gapfill_hourly``, ``time_bucket_rollup`` and
-``stream_hourly_agg`` guard in r16 (pulled forward into the window's
-free slots); ``stream_session_window_native`` and ``stream_sliding_2h``
-follow in r17 with their drain (tests/test_hostile_events_values.py
-pins each query's current class and fails loudly on the flip).
+Rollout COMPLETE as of r17: ``timeseries_gapfill_hourly``,
+``time_bucket_rollup`` and ``stream_hourly_agg`` guarded in r16;
+``stream_session_window_native`` and ``stream_sliding_2h`` in r17 —
+all five DECIMAL(28,6)-sum sites over ``events.value`` now raise on
+both engines (tests/test_hostile_events_values.py pins each in
+``_BOTH_ENGINES_RAISE``; the oracle-raise divergence class is empty).
 """
 
 from __future__ import annotations
@@ -44,11 +45,20 @@ from pyspark.sql import functions as F
 def finite_value_col(col: str = "value") -> Column:
     """``col`` guaranteed finite (or NULL): raises loudly on NaN/±inf
     instead of letting Spark's ANSI decimal cast null them out of the
-    sum. Use as the input of ``.cast("decimal(28,6)")``."""
-    return F.expr(
-        f"coalesce(assert_true({col} IS NULL OR "
-        f"(NOT isnan({col}) AND abs({col}) != double('Infinity')), "
-        f"'finiteness guard: NaN/inf {col} cannot enter a "
-        f"DECIMAL(28,6) sum (the oracle raises on this input; "
-        f"Spark must too, not silently drop the row)'), {col})"
+    sum. Use as the input of ``.cast("decimal(28,6)")``. Built from
+    Column objects, not an ``F.expr`` f-string (r16 ADVICE): a column
+    name needing backticks, or containing a quote, resolves through
+    ``F.col`` instead of producing a broken SQL expression; the error
+    message is an ``F.lit`` so the name cannot escape the string."""
+    c = F.col(col)
+    return F.coalesce(
+        F.assert_true(
+            c.isNull() | (~F.isnan(c) & (F.abs(c) != F.lit(float("inf")))),
+            F.lit(
+                f"finiteness guard: NaN/inf {col} cannot enter a "
+                "DECIMAL(28,6) sum (the oracle raises on this input; "
+                "Spark must too, not silently drop the row)"
+            ),
+        ),
+        c,
     )

@@ -346,7 +346,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)"))
+            F.sum(finite_value_col().cast("decimal(28,6)"))
             .cast("double")
             .alias("total_value"),
         )
@@ -539,7 +539,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(28,6)"))
+            F.sum(finite_value_col().cast("decimal(28,6)"))
             .cast("double")
             .alias("total_value"),
         )

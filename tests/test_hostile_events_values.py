@@ -10,19 +10,19 @@ ANSI conditions): **178 green / 0 mismatch / 3 both-engines-raise /
   `window_range_1h_load`, `window_moving_avg_7` (±9.9e15 overflows
   DECIMAL(18,6) on both engines), `window_zscore_anomaly` (the exact
   integer-cents moments overflow int64 on both engines).
-- KNOWN DIVERGENCE, pinned (the NaN-embedding tier-3 pattern):
-  Spark's ANSI ``CAST(double AS DECIMAL(28,6))`` silently yields NULL
-  for NaN/±inf (only out-of-RANGE values raise; non-numeric specials
-  null out) while DuckDB raises a Conversion Error — so the
-  DECIMAL(28,6)-sum queries completed on Spark (NaN row's value
-  drops from the SUM) where the oracle raises. r16: THREE of the five
-  (`stream_hourly_agg`, `timeseries_gapfill_hourly`,
-  `time_bucket_rollup`) now carry the assert_true finiteness guard
-  (functions/finiteness.py, the kmeans-envelope pattern) and raise on
-  both engines; `stream_session_window_native` and `stream_sliding_2h`
-  follow in r17 with their drain. Latent-only meanwhile: the tripwire
-  below asserts driver events carry no NaN/inf/out-of-envelope values
-  at any sf.
+- CLOSED DIVERGENCE (was the NaN-embedding tier-3 pattern): Spark's
+  ANSI ``CAST(double AS DECIMAL(28,6))`` silently yields NULL for
+  NaN/±inf (only out-of-RANGE values raise; non-numeric specials null
+  out) while DuckDB raises a Conversion Error — so the
+  DECIMAL(28,6)-sum queries used to complete on Spark (NaN row's
+  value drops from the SUM) where the oracle raises. All FIVE members
+  now carry the assert_true finiteness guard (functions/finiteness.py,
+  the kmeans-envelope pattern) and raise on both engines: r16 landed
+  `stream_hourly_agg`, `timeseries_gapfill_hourly`,
+  `time_bucket_rollup`; r17 landed `stream_session_window_native`
+  and `stream_sliding_2h`. The oracle-raise class is EMPTY. The
+  tripwire below still asserts driver events carry no
+  NaN/inf/out-of-envelope values at any sf.
 
 Everything else — NaN/inf through plain double aggs (propagate
 identically), epoch/2199 timestamps through hour/day bucketing and
@@ -68,23 +68,24 @@ _BOTH_ENGINES_RAISE = [
     "window_range_1h_load",
     "window_moving_avg_7",
     "window_zscore_anomaly",
-    # guarded r16 (functions/finiteness.py): the assert_true
+    # guarded r16/r17 (functions/finiteness.py): the assert_true
     # finiteness guard makes Spark raise on NaN/inf exactly where the
-    # oracle's DECIMAL cast raises — three of the five-member class
-    # pulled forward into r16's free window slots
+    # oracle's DECIMAL cast raises — all five members of the
+    # DECIMAL(28,6)-sum class now guarded (three in r16, the last two
+    # streaming pair in r17)
     "stream_hourly_agg",
     "timeseries_gapfill_hourly",
     "time_bucket_rollup",
-]
-
-#: Spark completes (NaN/inf -> NULL under ANSI decimal cast), oracle
-#: raises — the documented divergence; the finiteness guard
-#: (functions/finiteness.py, landed r16 on the other three members)
-#: flips each to _BOTH_ENGINES_RAISE in r17 with its drain
-_SPARK_NULLS_ORACLE_RAISES = [
     "stream_session_window_native",
     "stream_sliding_2h",
 ]
+
+#: EMPTY since r17: Spark-completes-where-oracle-raises is a closed
+#: divergence class — every DECIMAL(28,6)-sum query carries the
+#: finiteness guard. Kept as a loud landing spot: any new decimal-sum
+#: query over events.value belongs in _BOTH_ENGINES_RAISE (guard it
+#: with finite_value_col()), never here.
+_SPARK_NULLS_ORACLE_RAISES: list[str] = []
 
 
 @pytest.fixture(autouse=True)
