@@ -47,9 +47,14 @@ shuffle the word-count already pays, map-side combinable), the K
 in-row merge passes run once per distinct word (vocabulary <<
 corpus — the Heaps'-law win that makes a 100 TB apply affordable),
 and occurrence counts multiply the per-word token arithmetic back at
-the end. The merge table itself is a bounded driver-side collect
-(<= _APPLY_K rows, the kmeans-centroid pattern) compiled into the
-fold expressions — no join against an unbounded side, no UDF.
+the end. Each merge pass is a single LINEAR JVM string replace over a
+sentinel-delimited char encoding (see ``_one_merge_pass``; r17 — the
+earlier ``F.aggregate`` array fold was O(len^2) per pass in word
+length because the array accumulator copies on every append, a
+straggler shape on any pathologically long word). The merge table
+itself is a bounded driver-side collect (<= _APPLY_K rows, the
+kmeans-centroid pattern) compiled into the pass expressions — no join
+against an unbounded side, no UDF.
 """
 
 from __future__ import annotations
@@ -116,24 +121,62 @@ BPE_TOP_PAIRS_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
-def _one_merge_pass(toks, pair: str):
-    """One greedy left-to-right non-overlapping pass of ``pair`` over a
-    token array column: fold tokens into an accumulator, merging the
-    accumulator's last element with the current token whenever their
-    concatenation equals the rule. ``F.lit(pair)`` keeps corpus-derived
-    rule text (quotes, backslashes) out of SQL literals entirely."""
-    return F.aggregate(
-        toks,
-        F.array().cast("array<string>"),
-        lambda acc, x: F.when(
-            (F.size(acc) > 0)
-            & (F.concat(F.element_at(acc, -1), x) == F.lit(pair)),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(F.lit(pair)),
+#: token sentinels for the linear merge-pass encoding below. Control
+#: chars U+0001/U+0002 never occur in real text; ``_wrap_chars``
+#: raises loudly (rather than corrupting the encoding) if they do.
+_S1 = "\x01"
+_S2 = "\x02"
+
+
+def _wrap_chars(w) -> "F.Column":
+    """Encode a word column as a sentinel-delimited token string: each
+    character ``c`` becomes ``\\x01 c \\x02``. ``(?s)`` makes ``.``
+    match U+2028/U+2029 too (Java ``.`` excludes line separators by
+    default, and those are NOT ``WS_CLASS`` separators, so they can
+    legitimately sit inside a word). The guard is the house
+    assert-in-coalesce-first-arm pattern: a raw word containing a
+    sentinel char raises loudly instead of silently corrupting token
+    boundaries."""
+    wrapped = F.regexp_replace(w, "(?s)(.)", f"{_S1}$1{_S2}")
+    return F.coalesce(
+        F.assert_true(
+            ~(w.contains(_S1) | w.contains(_S2)),
+            F.lit(
+                "bpe sentinel guard: raw word contains U+0001/U+0002,"
+                " which would corrupt the merge-pass token encoding"
             ),
-        ).otherwise(F.concat(acc, F.array(x))),
+        ),
+        wrapped,
     )
+
+
+def _one_merge_pass(s, pair: str):
+    """One greedy left-to-right non-overlapping pass of ``pair`` over a
+    sentinel-encoded token string: a single JVM ``replace`` of
+    ``\\x01 a \\x02 \\x01 b \\x02`` with ``\\x01 ab \\x02``. JVM
+    replace scans left-to-right, never rescanning the substituted text
+    — exactly the greedy fold (``aaa`` under rule ``aa`` ->
+    ``[aa, a]``), including run parity. Sentinels anchor token
+    boundaries: a 2-char rule can only ever merge two 1-char tokens
+    (no rule is ever 3+ chars, so a merged token never merges again),
+    and the pattern cannot match inside a multi-char token. O(len) per
+    pass and whole-stage-codegen'd — this replaced the r14-r16
+    ``F.aggregate`` array fold whose per-element accumulator copy made
+    it O(len^2) in word length (the r16 mega-doc probe measured 4x
+    wall per 2x length; tools/megadoc_probe.py is the witness).
+    ``F.lit`` keeps corpus-derived rule text (quotes, backslashes) out
+    of SQL literals entirely."""
+    return F.replace(
+        s,
+        F.lit(_S1 + pair[0] + _S2 + _S1 + pair[1] + _S2),
+        F.lit(_S1 + pair + _S2),
+    )
+
+
+def _token_count(s) -> "F.Column":
+    """Token count of a sentinel-encoded string: one ``\\x01`` per
+    token (split yields a leading empty element)."""
+    return F.size(F.split(s, _S1)) - 1
 
 
 def q_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,13 +208,13 @@ def q_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize each DISTINCT word once (vocabulary << corpus), then
     # multiply by occurrence counts
     vocab = word_counts.select("w").distinct()
-    toks = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    toks = _wrap_chars(F.col("w"))
     for pair in merges:
         toks = _one_merge_pass(toks, pair)
     tokenized = vocab.select(
         "w",
         F.length("w").cast("long").alias("n_chars_w"),
-        F.size(toks).cast("long").alias("n_toks_w"),
+        _token_count(toks).cast("long").alias("n_toks_w"),
     )
     return (
         word_counts.join(tokenized, "w")

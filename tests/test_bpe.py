@@ -169,17 +169,28 @@ def test_oracle_positional_pass_matches_python_greedy_reference():
     con.close()
 
 
-def test_spark_fold_matches_python_greedy_reference(spark):
-    """The Spark-side F.aggregate fold on the same adversarial shapes
+def test_spark_pass_matches_python_greedy_reference(spark):
+    """The Spark-side sentinel-string replace pass (r17: the linear
+    rewrite of the F.aggregate fold) on the same adversarial shapes
     (chain runs, overlaps, empty, no-match) — one batched DataFrame,
-    direct comparison against the Python reference per row."""
+    direct comparison against the Python reference per row. Tokens
+    are sentinel-encoded/decoded around the pass, so the test pins
+    the pass semantics at the TOKEN level, independent of encoding."""
     import itertools
 
     from pyspark.sql import functions as F
 
     from etl_sales_pandas_sqlserver_spark.functions.bpe import (
+        _S1,
+        _S2,
         _one_merge_pass,
     )
+
+    def encode(toks: list) -> str:
+        return "".join(_S1 + t + _S2 for t in toks)
+
+    def decode(s: str) -> list:
+        return [piece[:-1] for piece in s.split(_S1)[1:]]
 
     toks_cases = [
         list(t)
@@ -188,14 +199,101 @@ def test_spark_fold_matches_python_greedy_reference(spark):
     ]
     for pair in ["aa", "ab", "ba"]:
         df = spark.createDataFrame(
-            [(i, t) for i, t in enumerate(toks_cases)],
-            "i long, toks array<string>",
+            [(i, encode(t)) for i, t in enumerate(toks_cases)],
+            "i long, s string",
         )
         got = {
-            r.i: list(r.m)
+            r.i: decode(r.m)
             for r in df.select(
-                "i", _one_merge_pass(F.col("toks"), pair).alias("m")
+                "i", _one_merge_pass(F.col("s"), pair).alias("m")
             ).collect()
         }
         for i, t in enumerate(toks_cases):
             assert got[i] == _py_one_pass(t, pair), (t, pair)
+
+
+def test_detokenize_byte_identity_over_real_vocab(spark, merge_corpus):
+    """Detokenization witness for the r17 linear merge rewrite:
+    stripping the sentinels from the fully-merged encoding must
+    reproduce every word byte-for-byte — merges may only regroup
+    characters, never alter them. Runs over the staged corpus AND the
+    real sf0.001 document vocabulary with that corpus' own top-K merge
+    table, so the witness covers organic text, not just crafted words.
+    (Scheduled to graduate into a registered ``bpe_detokenize_check``
+    query with per-source compression ratios when the rotation window
+    has slack — r18 per the r16 verdict's deferral note.)"""
+    from pyspark.sql import functions as F
+
+    from etl_sales_pandas_sqlserver_spark.functions.bpe import (
+        _APPLY_K,
+        _S1,
+        _S2,
+        _one_merge_pass,
+        _wrap_chars,
+        q_bpe_top_pairs,
+    )
+    from etl_sales_pandas_sqlserver_spark.functions.tokcount import (
+        WS_CLASS,
+    )
+    from etl_sales_pandas_sqlserver_spark.sources.testdata import (
+        load_table,
+    )
+
+    for sf_dir in (merge_corpus, "/root/testdata/sf0.001"):
+        rows = (
+            q_bpe_top_pairs(spark, sf_dir)
+            .orderBy(F.col("n").desc(), F.col("pair"))
+            .limit(_APPLY_K)
+            .collect()
+        )
+        merges = [
+            r["pair"]
+            for r in sorted(rows, key=lambda r: (-r["n"], r["pair"]))
+        ]
+        vocab = (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                F.explode(
+                    F.split(F.trim(F.lower(F.col("text"))), WS_CLASS)
+                ).alias("w")
+            )
+            .filter(F.length("w") >= 1)
+            .distinct()
+        )
+        s = _wrap_chars(F.col("w"))
+        for pair in merges:
+            s = _one_merge_pass(s, pair)
+        detok = F.replace(
+            F.replace(s, F.lit(_S1), F.lit("")), F.lit(_S2), F.lit("")
+        )
+        n_bad = vocab.filter(detok != F.col("w")).count()
+        assert n_bad == 0, f"{sf_dir}: {n_bad} words not byte-identical"
+
+
+def test_wrap_chars_guard_raises_on_sentinel_bytes(spark):
+    """A raw word containing U+0001/U+0002 must raise the loud guard,
+    never silently corrupt the token encoding; clean words (including
+    U+2028/U+2029 line separators, which Java '.' skips without (?s))
+    encode one token per character."""
+    from pyspark.sql import functions as F
+
+    from etl_sales_pandas_sqlserver_spark.functions.bpe import (
+        _token_count,
+        _wrap_chars,
+    )
+
+    clean = spark.createDataFrame(
+        [("abc",), ("a b c",), ("x",)], "w string"
+    )
+    got = clean.select(
+        "w", _token_count(_wrap_chars(F.col("w"))).alias("n")
+    ).collect()
+    assert {r.w: r.n for r in got} == {
+        "abc": 3,
+        "a b c": 5,
+        "x": 1,
+    }
+    for bad in ("a\x01b", "a\x02b"):
+        dirty = spark.createDataFrame([(bad,)], "w string")
+        with pytest.raises(Exception, match="bpe sentinel guard"):
+            dirty.select(_wrap_chars(F.col("w")).alias("s")).collect()

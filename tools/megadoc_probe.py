@@ -26,12 +26,13 @@ simhash 4.2 s, repeated_spans 0.9 s, importance_weights 3.8 s, rest
 sub-second — and **bpe_apply_merges 292 s: a REAL quadratic this
 probe exposed** (confirmed 4x wall per 2x word length on z*N probes:
 12.5k→17 s, 25k→70 s, 50k→287 s). The greedy in-row merge fold
-rebuilds the token array per consumed element, O(len^2) per pass when
-merges fire densely. Scheduled fix r17 (any bpe.py edit fronts the
-query; the r16 window is exactly full): run-length parity merge for
-the equal-char rule case, or an accumulate-in-reversed-list fold —
-see NOTES_r16.md. A hang or a 10x jump in any OTHER family means a
-new quadratic crept into an in-row kernel.
+rebuilt the token array per consumed element, O(len^2) per pass when
+merges fire densely. FIXED r17: each pass is now a single linear JVM
+string replace over a sentinel-delimited char encoding
+(functions/bpe.py::_one_merge_pass) — r17 reading:
+**bpe_apply_merges 8.6 s ≈ bpe_top_pairs 6.9 s**, the target the r16
+verdict set. A hang or a 10x jump in any family now means a new
+quadratic crept into an in-row kernel.
 
 Usage: python tools/megadoc_probe.py [sf_dir]
 Prints one JSON line: {"family": sec, ...}.
