@@ -67,6 +67,7 @@ from .intmath import (
     next_pow2_sql,
 )
 from .textstats import _TOKEN_SPLIT
+from .tokcount import WS_CLASS
 
 # Both token-count spellings come from the corpus-wide single source
 # of truth (functions/tokcount.py) — the same grain the budget /
@@ -218,7 +219,7 @@ def q_packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 OOV_RATE_SQL = f"""
   WITH toks AS (
     SELECT source,
-           UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS token
+           UNNEST(regexp_split_to_array(trim(text), '{WS_CLASS}')) AS token
     FROM documents
   ),
   counts AS (

@@ -58,9 +58,9 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 # 1. Cross-source contamination matrix.
 # ---------------------------------------------------------------------------
 
-CONTAMINATION_SQL = r"""
+CONTAMINATION_SQL = rf"""
   WITH toks AS (
-    SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS w
+    SELECT doc_id, source, regexp_split_to_array(trim(text), '{WS_CLASS}') AS w
     FROM documents
   ),
   sh AS (

@@ -28,8 +28,14 @@ SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 #: whitespace-word tokenizer used everywhere (documents.text is
 #: single-space separated, but the regex keeps the engine honest on
-#: arbitrary input).
-_TOKEN_SPLIT = r"\s+"
+#: arbitrary input). r17: bound to the explicit ``tokcount.WS_CLASS``
+#: grain — the LAST ``\s+`` site; Java's ``\s`` includes U+000B where
+#: the oracle's RE2 does not, so the six queries on this symbol
+#: (token_stats, quality_scores, winnow, docfreq, oov_rate,
+#: lang_sampling) silently desynced on vertical-tab text. The respell
+#: is atomic with batching.py's OOV_RATE_SQL literal (the Spark sides
+#: IMPORT this symbol; its paired SQL literals must move with it).
+_TOKEN_SPLIT = WS_CLASS
 
 #: BPE-ish surface tokenizer: runs of lowercase alnum OR a single
 #: non-alnum-non-whitespace char. The whitespace exclusion is the

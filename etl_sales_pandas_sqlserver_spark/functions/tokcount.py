@@ -33,13 +33,19 @@ r16: the 8-site fingerprint spelling
 (``md5(lower(trim(regexp_replace(text, WS_CLASS, ' '))))`` across
 textstats/dedup/traindata/source_stats/dataset_cards/corpus_diff/
 funnel), traindata's curation token gate, textstats' repetition pair
-and ``_RE_TOKEN`` all interpolate this class now. The no-\\x0B
-testdata tripwire stays for the LAST ``\\s+`` family:
-``textstats._TOKEN_SPLIT`` plus the batching.py OOV_RATE_SQL and
-source_stats.py contamination-shingle literals bound to it — an
-ATOMIC set (the Spark sides import the symbol, so a value respell
-without the paired literal flips would desync those queries), r17
-with their owners' drain.
+and ``_RE_TOKEN`` all interpolate this class now.
+
+r17: the LAST ``\\s+`` family landed — ``textstats._TOKEN_SPLIT`` is
+now ``WS_CLASS`` itself, flipped atomically with its paired SQL
+literals (batching.py OOV_RATE_SQL, source_stats.py
+CONTAMINATION_SQL). EVERY token/fingerprint site in the package is on
+this one grain; a package grep for backslash-s token sites finds
+none. The no-\\x0B testdata tripwire (test_tokcount) stands down to a
+plain data-freshness check: with zero ``\\s`` sites it no longer
+guards a latent divergence, but \\x0B-free driver data remains the
+documented precondition the hostile vtab axis (tests/
+test_hostile_docs_vtab.py + tools/hostile_sweep.py documents_vtab)
+builds its poison corpus against.
 
 Cross-family grain caveat (r15 ADVICE): ``shard_manifest_tokens``
 excludes null-``doc_id`` documents on both engines — a manifest whose

@@ -78,9 +78,10 @@ def test_kmeans_quantizer_matches_exact_math(con, x):
 # - U+000B: Java \s includes it, RE2 does not (tokcount.py docstring,
 #   tests/test_tokcount.py). r16: no longer excluded from the paired
 #   property below -- the fingerprint spelling moved to the explicit
-#   WS_CLASS, so only the still-unflipped literal \s+ sites
-#   (textstats._TOKEN_SPLIT users, batching/source_stats token
-#   literals; r17 per the deferral table) carry this divergence.
+#   WS_CLASS. r17: the last \s+ sites (textstats._TOKEN_SPLIT and its
+#   paired batching/source_stats literals) flipped too -- NO package
+#   token site carries this divergence anymore; the enumerations stay
+#   as the engine-upgrade tripwire.
 # - lower(): 71 codepoints where the JVM and utf8proc disagree --
 #   U+0130 (Turkish dotted capital I: Java -> 'i'+U+0307, DuckDB ->
 #   'i') plus 70 letters cased in newer Unicode versions than

@@ -9,24 +9,20 @@ r16 sweep classification of ``tools/hostile_sweep.py documents_vtab``
 (poison: one doc with \\x0B inside words, one doc differing from an
 existing doc ONLY by \\x0B-vs-space):
 
-1. **180/186 green** — including the entire r16 fingerprint atomic
-   group (exact dedup, fingerprints, curation pipeline + funnel audit,
-   source dedup rate, dataset cards, corpus diff), the curation token
-   gate, the repetition pair, ``_RE_TOKEN``, and the r14/r15 tokcount/
-   bpe/array grains. A representative slice is parity-pinned below.
-2. **Six queries mismatch** — the still-unflipped
-   ``textstats._TOKEN_SPLIT`` family (Spark side splits Java ``\\s+``,
-   counting \\x0B as a separator; the oracles' RE2 ``\\s+`` does not):
-   ``text_token_stats``, ``text_quality_scores``,
-   ``text_winnow_fingerprints``, ``text_docfreq_quality`` (textstats),
-   ``oov_rate_by_source`` (batching imports the symbol; its SQL is a
-   paired literal) and ``lang_sampling_weights_sqrt`` (source_stats,
-   same shape). This is an ATOMIC set — the Spark sides share the one
-   module constant — scheduled r17 with its owners' drain. When the
-   respell lands, the expected-mismatch pin below FAILS loudly: flip
-   the six into _ROBUST and empty _KNOWN_MISMATCH.
-3. Latency guard: the no-\\x0B driver-testdata tripwire
-   (test_tokcount) keeps the six invisible to the driver until r17.
+1. **186/186 classified, zero mismatch (r17)** — the r16 fingerprint
+   atomic group (exact dedup, fingerprints, curation pipeline + funnel
+   audit, source dedup rate, dataset cards, corpus diff), the curation
+   token gate, the repetition pair, ``_RE_TOKEN``, the r14/r15
+   tokcount/bpe/array grains, AND (r17) the final
+   ``textstats._TOKEN_SPLIT`` family: ``_TOKEN_SPLIT = WS_CLASS`` plus
+   its paired SQL literals (batching OOV_RATE_SQL, source_stats
+   CONTAMINATION_SQL) landed as one atomic set, so ``text_token_stats``,
+   ``text_quality_scores``, ``text_winnow_fingerprints``,
+   ``text_docfreq_quality``, ``oov_rate_by_source`` and
+   ``lang_sampling_weights_sqrt`` now agree on \\x0B text. A
+   representative slice (including all six) is parity-pinned below.
+2. ``_KNOWN_MISMATCH`` is EMPTY — kept as the loud landing spot for
+   any future token-grain site that is not born on ``WS_CLASS``.
 """
 
 from __future__ import annotations
@@ -60,10 +56,8 @@ _ROBUST = [
     "bpe_top_pairs",
     "bpe_apply_merges",
     "token_salience",
-]
-
-#: the r17 atomic respell set — still split on Java \s+ Spark-side
-_KNOWN_MISMATCH = [
+    # r17: the _TOKEN_SPLIT atomic respell set, flipped from
+    # _KNOWN_MISMATCH when _TOKEN_SPLIT became WS_CLASS
     "text_token_stats",
     "text_quality_scores",
     "text_winnow_fingerprints",
@@ -71,6 +65,12 @@ _KNOWN_MISMATCH = [
     "oov_rate_by_source",
     "lang_sampling_weights_sqrt",
 ]
+
+#: EMPTY since r17 (the _TOKEN_SPLIT set landed): every token/
+#: fingerprint site is on the explicit WS_CLASS grain. Any new entry
+#: here is a regression, not a backlog item — new token sites must be
+#: born on tokcount.WS_CLASS.
+_KNOWN_MISMATCH: list[str] = []
 
 
 @pytest.fixture(autouse=True)
@@ -86,6 +86,19 @@ def _driver_ansi(spark):
 def vtab_sf(sf_small, tmp_path_factory) -> str:
     d = tmp_path_factory.mktemp("hostile_vtab")
     con = duckdb.connect()
+    # precondition (r16 ADVICE): doc 910002 is doc 1's text with
+    # spaces swapped for \x0B — the collision test below is vacuous
+    # (twin == original) unless doc 1 exists and contains a space.
+    # Fail HERE with a clear message if testdata regeneration breaks
+    # that, not downstream with a confusing fingerprint assertion.
+    pre = con.execute(
+        f"SELECT text FROM '{sf_small}/documents.parquet' WHERE doc_id = 1"
+    ).fetchall()
+    assert len(pre) == 1 and pre[0][0] and " " in pre[0][0], (
+        "vtab fixture precondition: sf_small doc_id 1 must exist and "
+        "contain at least one space (doc 910002 is built as its "
+        "\\x0B-for-space twin)"
+    )
     con.execute(
         f"""
         COPY (
@@ -142,17 +155,17 @@ def test_vtab_stays_oracle_green(spark, vtab_sf, name):
 
 
 @pytest.mark.parametrize("name", _KNOWN_MISMATCH)
-def test_vtab_known_mismatch_until_r17(spark, vtab_sf, name):
-    """The _TOKEN_SPLIT family still counts \\x0B as a separator
-    Spark-side. A fix flips this loudly — move the query to _ROBUST
-    (all six together: the set is atomic)."""
+def test_vtab_known_mismatch_is_pinned(spark, vtab_sf, name):
+    """EMPTY since r17 — the loud landing spot: a query listed here is
+    asserted to DISAGREE with its oracle on \\x0B text, so a pinned
+    divergence can neither be forgotten (this fails when fixed) nor
+    silently regress (the sweep axis catches new mismatches)."""
     import __spark_entry__ as e
 
     sdf = e.queries()[name](spark, vtab_sf).toPandas()
     odf = _oracle(e.oracle_sql()[name], vtab_sf)
     assert len(sdf) != len(odf) or _canon(sdf) != _canon(odf), (
-        f"{name} now agrees on vertical-tab text — the _TOKEN_SPLIT "
-        "respell landed; move the six-member set to _ROBUST"
+        f"{name} now agrees on vertical-tab text — move it to _ROBUST"
     )
 
 

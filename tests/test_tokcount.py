@@ -68,16 +68,16 @@ def test_vertical_tab_agrees_after_the_r14_respell(spark):
 
 
 def test_testdata_contains_no_vertical_tab():
-    """The \\x0B exclusion tripwire STAYS after the r14/r15/r16
-    token-grain respells (r15 closed bpe and array_queries; r16 closed
-    the 8-site fingerprint group, traindata's curation gate, the
-    repetition pair, and _RE_TOKEN): the LAST remaining ``\\s+``
-    family — textstats._TOKEN_SPLIT and the batching/source_stats
-    token literals bound to it (atomic set, r17 with their owners'
-    drain) — still diverges on U+000B, latent only while the driver
-    testdata carries no vertical tab. If the driver ever regenerates
-    testdata with \\x0B in it, this fires before any oracle mismatch
-    confuses a round."""
+    """STOOD DOWN to a data-freshness check (r17): with the
+    _TOKEN_SPLIT family flipped onto WS_CLASS, the package has ZERO
+    ``\\s`` token sites left, so no query diverges on U+000B anymore
+    (the hostile vtab axis proves it corpus-wide). The check remains
+    because \\x0B-free driver data is the documented precondition the
+    vtab poison corpus (tests/test_hostile_docs_vtab.py,
+    tools/hostile_sweep.py documents_vtab) is built against: if the
+    driver ever regenerates testdata WITH vertical tabs, the hostile
+    axis' green/mismatch classification needs re-deriving, and this
+    fires with a clear message instead."""
     import os
 
     for sf in ("0.001", "0.01", "0.1"):
@@ -115,3 +115,19 @@ def test_all_consumers_bind_the_single_spelling():
     assert release._N_TOKENS_SQL is tokcount.N_TOKENS_SQL
     assert sharding.N_TOKENS_SQL is tokcount.N_TOKENS_SQL
     assert curriculum.N_TOKENS_SQL is tokcount.N_TOKENS_SQL
+
+
+def test_token_split_grain_is_pinned_hardcoded():
+    """r17: textstats._TOKEN_SPLIT IS WS_CLASS now (the last \\s+
+    family's respell). Hardcoded on purpose, same rationale as the
+    fingerprint spelling pin in test_funnel: the pin must not follow
+    tokcount.WS_CLASS automatically, or a WS_CLASS edit could silently
+    move every token spelling at once without any test noticing the
+    grain changed."""
+    from etl_sales_pandas_sqlserver_spark.functions import (
+        textstats,
+        tokcount,
+    )
+
+    assert textstats._TOKEN_SPLIT is tokcount.WS_CLASS
+    assert tokcount.WS_CLASS == "[ \\t\\n\\f\\r]+"
