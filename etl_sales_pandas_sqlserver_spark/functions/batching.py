@@ -143,7 +143,7 @@ def q_seq_bucket_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "padded_tokens - total_tokens", "padded_tokens"
             )
         ).alias("waste_ppm"),
-    ).orderBy("bucket_cap")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -209,7 +209,7 @@ def q_packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             exact_ppm_spark("padded_tokens - _tok", "padded_tokens")
         ).alias("waste_ppm"),
-    ).orderBy("ctx")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -276,7 +276,6 @@ def q_oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_oov",
             F.expr(exact_ppm_spark("n_oov", "n_tokens")).alias("oov_ppm"),
         )
-        .orderBy("source")
     )
 
 

@@ -233,7 +233,6 @@ def q_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_merge_hits"),
         )
-        .orderBy("source")
     )
 
 

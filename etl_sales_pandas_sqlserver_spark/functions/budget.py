@@ -126,7 +126,7 @@ def q_token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alloc",
         (F.col("alloc") == F.col("avail")).alias("fully_funded"),
         F.expr(exact_ppm_spark("alloc", "avail")).alias("funded_ppm"),
-    ).orderBy("source")
+    )
 
 
 def q_token_budget_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,7 +230,6 @@ def q_budget_sampled_by_source(
                 "achieved_ppm"
             ),
         )
-        .orderBy("source")
     )
 
 

@@ -102,7 +102,7 @@ def q_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy("table_name")
+    return out
 
 
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {

@@ -100,7 +100,7 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     members = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members")
     )
-    return reps.join(members, "cluster_id").orderBy("cluster_id")
+    return reps.join(members, "cluster_id")
 
 
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {

@@ -88,7 +88,6 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("src_new", "src_old").alias("source"),
             status.alias("status"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -107,7 +106,6 @@ def q_corpus_churn_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_unchanged"
             ),
         )
-        .orderBy("source")
     )
 
 

@@ -103,7 +103,6 @@ def q_curriculum_decile_bounds(
             F.min("lm_score_ppm").alias("min_ppm"),
             F.max("lm_score_ppm").alias("max_ppm"),
         )
-        .orderBy("source", "decile")
     )
 
 
@@ -137,7 +136,6 @@ def q_curriculum_stage_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("tokens"),
         )
-        .orderBy("stage", "source")
     )
 
 

@@ -194,9 +194,7 @@ def q_pack_by_curriculum_stage(
 ) -> DataFrame:
     """Per-sequence packing manifest, training order (easy stage 2
     first, then sequence order)."""
-    return _seq_manifest(spark, sf_dir).orderBy(
-        F.col("stage").desc(), "seq_id"
-    )
+    return _seq_manifest(spark, sf_dir)
 
 
 def q_pack_stage_fill_summary(
@@ -226,7 +224,6 @@ def q_pack_stage_fill_summary(
             "capacity",
             F.expr(exact_ppm_spark("tokens", "capacity")).alias("fill_ppm"),
         )
-        .orderBy(F.col("stage").desc())
     )
 
 
@@ -249,7 +246,6 @@ def q_pack_fill_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tokens").alias("min_tokens"),
             F.max("tokens").alias("max_tokens"),
         )
-        .orderBy(F.col("stage").desc(), "fill_bin")
     )
 
 

@@ -190,7 +190,6 @@ def q_dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_GINI_PPM_SPARK).alias("lang_gini_ppm"),
             "p95_len_cap",
         )
-        .orderBy("source")
     )
 
 

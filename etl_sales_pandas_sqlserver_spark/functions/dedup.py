@@ -200,7 +200,6 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
         .select("keep_doc_id", "fingerprint", "n_copies")
-        .orderBy("keep_doc_id")
     )
 
 
@@ -282,7 +281,6 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         batch.join(flags, "doc_id", "left")
         .select("doc_id", status.alias("status"))
-        .orderBy("doc_id")
     )
 
 
@@ -324,7 +322,6 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "b_id")
         .select("a_id", "b_id", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -400,7 +397,6 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "containment"
             ),
         )
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -464,7 +460,6 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ne, "eval_id")
         .select("train_id", "eval_id", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .orderBy("train_id", "eval_id")
     )
 
 
@@ -573,7 +568,7 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shingles",
         "n_hits",
         (F.col("n_hits") * 2 >= F.col("n_shingles")).alias("flagged"),
-    ).orderBy("train_id")
+    )
 
 
 def _bloom_hash_duck(start: int) -> str:
@@ -675,7 +670,7 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_verified_pairs(spark, sf_dir).orderBy("a_id", "b_id")
+    return minhash_verified_pairs(spark, sf_dir)
 
 
 def _minhash_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -937,7 +932,6 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _verify_jaccard(cand, sh)
         .select("a_id", "b_id", "hamming", "jaccard")
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -1109,7 +1103,6 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         both.groupBy("blk")
         .applyInPandas(block, schema=schema)
-        .orderBy("train_id", "eval_id")
     )
 
 
@@ -1179,7 +1172,6 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rep.groupBy("g1", "g2")
         .applyInPandas(grid_cell, schema=schema)
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -1336,7 +1328,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the exact pair list on this data -- the minhash oracle
     asserts that)."""
     pairs = minhash_verified_pairs(spark, sf_dir).select("a_id", "b_id")
-    return cluster_components(pairs).orderBy("doc_id")
+    return cluster_components(pairs)
 
 
 #: DuckDB oracle: transitive closure by recursive CTE (reach set per
@@ -1440,7 +1432,7 @@ def q_pagerank_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return ranks.select(
         F.col("v").alias("doc_id"), F.col("p").alias("rank_ppm")
-    ).orderBy("doc_id")
+    )
 
 
 CLUSTER_COMPONENTS_SQL = f"""
@@ -1536,7 +1528,6 @@ def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= 2)
-        .orderBy("span_md5")
     )
 
 
@@ -1608,7 +1599,6 @@ def q_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.join(clusters, "a")
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-        .orderBy("cluster_id")
     )
 
 
@@ -1675,7 +1665,7 @@ def q_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
         .distinct()
     )
-    return _verify_jaccard(cand, sh).orderBy("a_id", "b_id")
+    return _verify_jaccard(cand, sh)
 
 
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {

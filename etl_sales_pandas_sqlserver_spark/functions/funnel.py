@@ -183,7 +183,6 @@ def q_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("tokens"),
         )
-        .orderBy("source", "stage_order")
     )
 
 

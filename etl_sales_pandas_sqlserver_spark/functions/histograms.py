@@ -116,7 +116,7 @@ def q_hist_doclen_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, lang) leaf histograms — the two-level plan is the point:
     the second agg is exactly the re-aggregation a shard rollup runs,
     and the oracle hashes its result."""
-    return _merged_hist(spark, sf_dir).orderBy("source", "bin_cap")
+    return _merged_hist(spark, sf_dir)
 
 
 HIST_QUANTILES_SQL = f"""
@@ -179,7 +179,6 @@ def q_hist_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ceil_rank_cap_agg(50).alias("p50_cap"),
             ceil_rank_cap_agg(95).alias("p95_cap"),
         )
-        .orderBy("source")
     )
 
 

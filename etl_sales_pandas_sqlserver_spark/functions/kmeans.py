@@ -184,7 +184,6 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _assignment(spark, sf_dir)
         .select("vec_id", "cluster_id", "dist")
-        .orderBy("vec_id")
     )
 
 
@@ -206,7 +205,7 @@ def q_kmeans_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(_sd - pmod(_sd, n_members)) div n_members").alias(
             "avg_dist_floor"
         ),
-    ).orderBy("cluster_id")
+    )
 
 
 #: Arrow schema of the SemDeDup pair kernel's output
@@ -261,7 +260,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = a.groupBy("cluster_id").applyInPandas(
         semdedup_pair_kernel(_SEM_THRESHOLD), schema=SEMDEDUP_PAIR_SCHEMA
     )
-    return out.orderBy("a_id", "b_id")
+    return out
 
 
 # ---------------------------------------------------------------------------

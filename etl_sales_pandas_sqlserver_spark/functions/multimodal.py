@@ -352,7 +352,6 @@ def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("fake_width").alias("min_width"),
             F.max("fake_height").alias("max_height"),
         )
-        .orderBy("modality", "source")
     )
 
 
@@ -448,7 +447,7 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return video.select("doc_id", "payload").mapInPandas(
         _frame_sample_kernel, schema=_FRAME_SAMPLE_SCHEMA
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -542,7 +541,6 @@ def q_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         audio.select("doc_id", "payload")
         .mapInPandas(_audio_chunk_kernel, schema=_AUDIO_CHUNK_SCHEMA)
-        .orderBy("doc_id", "chunk_idx")
     )
 
 
@@ -641,7 +639,6 @@ def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         images.select("doc_id", "payload")
         .mapInPandas(_bmp_roundtrip_kernel, schema=_BMP_DECODE_SCHEMA)
-        .orderBy("doc_id")
     )
 
 
@@ -712,7 +709,6 @@ def q_wav_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         audio.select("doc_id", "payload")
         .mapInPandas(_wav_resample_kernel, schema=_WAV_RESAMPLE_SCHEMA)
-        .orderBy("doc_id")
     )
 
 

@@ -107,7 +107,6 @@ def q_paragraph_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 < F.lit(_DUP_NUM) * F.col("n_paras")
             ).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -210,7 +209,7 @@ def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_distinct_tokens") / F.col("n_tokens")).alias(
             "type_token_ratio"
         ),
-    ).orderBy("doc_id")
+    )
 
 
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {

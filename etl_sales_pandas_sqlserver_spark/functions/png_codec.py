@@ -297,7 +297,6 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         images.select("doc_id", "payload")
         .mapInPandas(_png_roundtrip_kernel, schema=_PNG_DECODE_SCHEMA)
-        .orderBy("doc_id")
     )
 
 

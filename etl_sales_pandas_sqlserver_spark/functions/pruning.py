@@ -80,7 +80,6 @@ def q_lm_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "kept_max_ppm"
             ),
         )
-        .orderBy("source")
     )
 
 

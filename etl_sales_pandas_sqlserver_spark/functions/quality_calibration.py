@@ -77,7 +77,6 @@ def q_quality_percentile_by_source(
             pct.alias("pct_ppm"),
         )
         .withColumn("keep", F.col("pct_ppm") >= _KEEP_PPM)
-        .orderBy("doc_id")
     )
 
 

@@ -74,7 +74,6 @@ def q_release_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
         )
-        .orderBy("shard_id")
     )
 
 

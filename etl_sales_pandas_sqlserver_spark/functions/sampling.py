@@ -77,7 +77,6 @@ def q_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= _SAMPLE_K)
         .select("lang", "rnk", "doc_id", "n_chars")
-        .orderBy("lang", "rnk")
     )
 
 

@@ -253,7 +253,6 @@ def q_heavy_hitters_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))  # single-row total
         .filter(F.col("n_events") * _HH_K > F.col("total"))
         .select("user_id", "n_events")
-        .orderBy("user_id")
     )
 
 
@@ -436,7 +435,7 @@ def lm_doc_scores(docs: DataFrame) -> DataFrame:
 
 def q_lm_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return lm_doc_scores(docs).orderBy("doc_id")
+    return lm_doc_scores(docs)
 
 
 SEARCH_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {

@@ -179,7 +179,6 @@ def q_shard_manifest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
             F.max("doc_id").alias("max_doc_id"),
         )
-        .orderBy("shard_id")
     )
 
 

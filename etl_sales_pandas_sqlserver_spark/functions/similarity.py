@@ -598,7 +598,6 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         votes.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("label").alias("pred_label"), "votes")
-        .orderBy("query_id")
     )
 
 
@@ -673,7 +672,6 @@ def q_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "recall_floor_ok"
             ),
         )
-        .orderBy("variant")
     )
 
 
@@ -796,7 +794,6 @@ def _membership_contract(
             ).alias("rank_ok"),
             F.bool_and("cos_ok").alias("cosine_exact_ok"),
         )
-        .orderBy("query_id")
     )
 
 def q_topk_ann_contract(spark: SparkSession, sf_dir: str) -> DataFrame:

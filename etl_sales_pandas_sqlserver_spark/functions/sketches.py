@@ -99,7 +99,7 @@ def q_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "exact_users",
         _est_ok(F.col("est"), F.col("exact_users")).alias("est_ok"),
-    ).orderBy("event_type", "day_bucket")
+    )
 
 
 ROLLUP_SKETCH_SQL = """
@@ -151,7 +151,6 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "merge_lossless"
             ),
         )
-        .orderBy("event_type")
     )
 
 
@@ -255,7 +254,6 @@ def q_cms_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_le_ok"),
             F.col("lossless").alias("merge_lossless_ok"),
         )
-        .orderBy("event_type", "user_id")
     )
 
 

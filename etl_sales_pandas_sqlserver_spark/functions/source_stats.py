@@ -107,7 +107,6 @@ def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
-        .orderBy("src_a", "src_b")
     )
 
 
@@ -156,7 +155,6 @@ def q_source_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_docs",
             F.expr(exact_ppm_spark("n_dup_docs", "n_docs")).alias("dup_ppm"),
         )
-        .orderBy("source")
     )
 
 
@@ -223,7 +221,6 @@ def q_lang_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             # round across an integer boundary
             F.expr(exact_ppm_spark("sqrt_weight", "_tot")).alias("share_ppm"),
         )
-        .orderBy("lang")
     )
 
 

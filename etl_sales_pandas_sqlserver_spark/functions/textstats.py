@@ -107,7 +107,6 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_ws").alias("min_tokens"),
             F.max("n_ws").alias("max_tokens"),
         )
-        .orderBy("source")
     )
 
 
@@ -183,7 +182,7 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_len.alias("avg_token_len"),
         stop_ratio.alias("stop_ratio"),
         quality.alias("quality"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +258,6 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.select(F.col("lang").alias("claimed_lang"), pred.alias("predicted_lang"))
         .groupBy("claimed_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .orderBy("claimed_lang", "predicted_lang")
     )
 
 
@@ -299,7 +297,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("fingerprint")
     return f.select(
         "doc_id", "fingerprint", F.count(F.lit(1)).over(w).alias("n_copies")
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -381,7 +379,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_phones"),
         F.md5(redact_pii(F.col("text")).cast("binary")).alias("redacted_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -441,7 +439,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd.alias("n_distinct"),
         F.when(n == 0, F.lit(0.0).cast("double")).otherwise(dup).alias("dup_frac"),
         F.when(n == 0, F.lit(False)).otherwise(dup > 0.01).alias("flagged"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -571,7 +569,6 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(sel DIV {_POS_ENC} AS BIGINT)").alias("fp_hash"),
         )
         .distinct()
-        .orderBy("doc_id", "fp_pos")
     )
 
 
@@ -666,7 +663,6 @@ def q_docfreq_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_df").cast("double") / denom).alias("mean_df_ratio"),
             band.alias("band"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -68,7 +68,7 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
-    return docs.select("doc_id", split.alias("split")).orderBy("doc_id")
+    return docs.select("doc_id", split.alias("split"))
 
 
 # ---------------------------------------------------------------------------
@@ -110,7 +110,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(_KEEP_RATES["es"])
     )
     return (
-        docs.filter(bucket < rate).select("doc_id", "lang").orderBy("doc_id")
+        docs.filter(bucket < rate).select("doc_id", "lang")
     )
 
 
@@ -160,7 +160,6 @@ def q_topk_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("lang", "token", "cnt", "rank")
-        .orderBy("lang", "rank")
     )
 
 
@@ -275,7 +274,6 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
-        .orderBy("lang", "seq_id")
     )
 
 
@@ -324,7 +322,7 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         scale.alias("scale"),
         F.array_join(qvec, ",").alias("qvec"),
-    ).orderBy("vec_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -400,7 +398,6 @@ def q_corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.col("total") - 1)).alias("epoch"),
         )
         .withColumn("epoch", F.col("epoch").cast("long"))
-        .orderBy("doc_id", "epoch")
     )
 
 
@@ -449,7 +446,6 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chunk_chars"),
             F.substring(F.md5(chunk.cast("binary")), 1, 8).alias("chunk_fp"),
         )
-        .orderBy("doc_id", "chunk_id")
     )
 
 
@@ -505,7 +501,6 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
-        .orderBy("split", "lang")
     )
 
 
@@ -585,7 +580,6 @@ def q_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _SOURCE_CAP)
         .select("doc_id", "source")
-        .orderBy("doc_id")
     )
 
 
@@ -672,7 +666,7 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "pos",
         F.pmod(F.col("pos"), F.lit(_N_SHARDS)).cast("bigint").alias("shard"),
-    ).orderBy("pos")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -845,7 +839,6 @@ def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("n_bigrams"),
             F.sum(F.col("cnt") * F.col("ppm")).alias("importance_score"),
         )
-        .orderBy("doc_id")
     )
 
 

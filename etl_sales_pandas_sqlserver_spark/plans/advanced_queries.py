@@ -160,7 +160,6 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _status_custkeys(spark, sf_dir, "O")
         .intersect(_status_custkeys(spark, sf_dir, "F"))
-        .orderBy("custkey")
     )
 
 
@@ -171,7 +170,6 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _status_custkeys(spark, sf_dir, "O")
         .subtract(_status_custkeys(spark, sf_dir, "F"))
-        .orderBy("custkey")
     )
 
 
@@ -205,7 +203,6 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _status_custkeys(spark, sf_dir, "O")
         .exceptAll(_status_custkeys(spark, sf_dir, "F"))
-        .orderBy("custkey")
     )
 
 
@@ -214,7 +211,6 @@ def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _status_custkeys(spark, sf_dir, "O")
         .intersectAll(_status_custkeys(spark, sf_dir, "F"))
-        .orderBy("custkey")
     )
 
 
@@ -355,7 +351,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("tag") == tag, F.col("val"))).alias(f"p{tag}")
         for tag, _ in _PCTS
     ]
-    return sel.groupBy("mktsegment").agg(*aggs).orderBy("mktsegment")
+    return sel.groupBy("mktsegment").agg(*aggs)
 
 
 # ---------------------------------------------------------------------------
@@ -384,7 +380,6 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "nations"
             ),
         )
-        .orderBy("region_name")
     )
 
 
@@ -423,7 +418,6 @@ def q_window_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("prev_gap_us", F.col("ts_us") - F.lag("ts_us").over(w_time))
         .withColumn("value_quartile", F.ntile(4).over(w_val))
         .select("event_id", "user_id", "ts_us", "prev_gap_us", "value_quartile")
-        .orderBy("event_id")
     )
 
 
@@ -468,10 +462,6 @@ def q_cube_region_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
             .cast("double")
             .alias("revenue"),
-        )
-        .orderBy(
-            F.col("region_name").asc_nulls_first(),
-            F.col("orderstatus").asc_nulls_first(),
         )
     )
 
@@ -541,7 +531,7 @@ def q_percentiles_approx_membership(
         )
         for tag, _p in _PCTS
     ]
-    return ranked.groupBy("mktsegment").agg(*aggs).orderBy("mktsegment")
+    return ranked.groupBy("mktsegment").agg(*aggs)
 
 
 # ---------------------------------------------------------------------------
@@ -637,7 +627,7 @@ def q_percentiles_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"le{tag}") >= lo_rank
         )
         cols.append(ok.alias(f"p{tag}_ok"))
-    return agg.select(*cols).orderBy("mktsegment")
+    return agg.select(*cols)
 
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,7 +647,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             <= tol
         ).alias("est_ok"),
-    ).orderBy("event_type")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -722,7 +712,6 @@ def q_unpivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["nation_name"], ["f", "o", "p"], "status", "revenue"
         )
         .withColumn("status", F.upper("status"))
-        .orderBy("nation_name", "status")
     )
 
 
@@ -757,7 +746,6 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_orderstatus", bin_col.alias("bin"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
-        .orderBy("o_orderstatus", "bin")
     )
 
 
@@ -853,7 +841,7 @@ def q_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select(
         "segment", "n", (num / den).alias("corr_qty_price")
-    ).orderBy("segment")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -934,7 +922,6 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b_custkey",
             dist.cast("bigint").alias("distance"),
         )
-        .orderBy("a_custkey", "b_custkey")
     )
 
 

@@ -63,7 +63,6 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("returnflag", "linestatus")
     )
 
 
@@ -100,7 +99,6 @@ def q_region_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_acctbal"),
         )
-        .orderBy("region_name")
     )
 
 
@@ -141,7 +139,6 @@ def q_nation_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
-        .orderBy("nation_name", "mktsegment")
     )
 
 
@@ -164,7 +161,6 @@ def q_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
         .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
-        .orderBy("custkey")
     )
 
 
@@ -190,7 +186,6 @@ def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
-        .orderBy("custkey")
     )
 
 
@@ -267,7 +262,6 @@ def q_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_acctbal"),
         )
-        .orderBy("g_region", "g_nation", "region_name", "nation_name")
     )
     return out
 
@@ -306,7 +300,6 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(status_sum("F"), status_sum("O"), status_sum("P"))
-        .orderBy("priority")
     )
 
 
@@ -363,7 +356,6 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("session_id", F.sum("new_session").over(cum))
         .groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("user_id", "session_id")
     )
 
 
@@ -396,7 +388,6 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
-        .orderBy("event_type")
     )
 
 
@@ -517,7 +508,6 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         m.select(F.explode(structs).alias("c"))
         .select("c.*")
-        .orderBy("check_name")
     )
 
 

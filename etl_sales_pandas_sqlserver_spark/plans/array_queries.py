@@ -77,7 +77,6 @@ def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("avg_len"),
         )
-        .orderBy("pos")
     )
 
 
@@ -114,7 +113,6 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(q).cast("double") / F.lit(1_000_000.0) / F.count(F.lit(1))
             ).alias("centroid")
         )
-        .orderBy("grp", "dim")
     )
 
 

@@ -93,7 +93,6 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("update")
             .alias("action"),
         )
-        .orderBy("o_orderkey")
     )
 
 
@@ -142,7 +141,6 @@ def q_status_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         islands.groupBy("o_orderstatus", "run_len")
         .agg(F.count(F.lit(1)).alias("n_runs"))
-        .orderBy("o_orderstatus", "run_len")
     )
 
 

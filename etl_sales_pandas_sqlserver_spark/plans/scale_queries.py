@@ -44,7 +44,7 @@ SALTED_USER_COUNTS_SQL = """
 
 def q_salted_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    return salted_agg_count(ev, "user_id", n_salts=_N_SALTS).orderBy("user_id")
+    return salted_agg_count(ev, "user_id", n_salts=_N_SALTS)
 
 
 # ---------------------------------------------------------------------------
@@ -78,7 +78,6 @@ def q_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
-        .orderBy("segment")
     )
 
 
@@ -127,7 +126,6 @@ def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(disc_price).cast("double").alias("revenue"),
         )
-        .orderBy("orderpriority")
     )
 
 
@@ -175,7 +173,6 @@ def q_partition_pruned_day_load(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_value"),
         )
-        .orderBy("event_type")
     )
 
 

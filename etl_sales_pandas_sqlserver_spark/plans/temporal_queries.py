@@ -145,7 +145,6 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_click_value",
             "click_ts_us",
         )
-        .orderBy("event_id")
     )
 
 
@@ -197,7 +196,7 @@ def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
         F.when(fresh, F.col("last_click_value")).alias("last_click_value"),
         F.when(fresh, F.col("click_ts_us")).alias("click_ts_us"),
-    ).orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -251,7 +250,6 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             (F.col("b_tsu") - F.col("a_tsu")).alias("dt_us"),
         )
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -314,7 +312,6 @@ def q_time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("granularity", "bucket", "event_type")
     )
 
 
@@ -405,7 +402,7 @@ def _scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _scd2_versions(spark, sf_dir).orderBy("custkey", "version")
+    return _scd2_versions(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -452,7 +449,6 @@ def q_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
-        .orderBy("segment_at_order")
     )
 
 
@@ -524,7 +520,6 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
             F.col("n_events").isNull().alias("gap_filled"),
         )
-        .orderBy("event_type", "hour_bucket")
     )
 
 
@@ -571,7 +566,6 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy("cohort_week", "week_offset")
     )
 
 
@@ -652,7 +646,6 @@ def q_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("n_window"),
             F.col("s").alias("sum_window"),
         )
-        .orderBy("user_id", "event_id")
     )
 
 

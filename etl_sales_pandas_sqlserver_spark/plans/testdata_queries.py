@@ -304,7 +304,6 @@ def q_monthly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("Amount").alias("numero_transacciones"),
             F.min("Amount").alias("venta_minima"),
         )
-        .orderBy("mes", "producto")
     )
     return out
 
@@ -449,7 +448,6 @@ def q_orders_monthly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("o_totalprice").alias("numero_transacciones"),
             F.min("o_totalprice").alias("venta_minima"),
         )
-        .orderBy("mes", "producto")
     )
 
 

@@ -79,7 +79,6 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_window.join(li, late, "left_semi")
         .groupBy(F.col("o_orderpriority").alias("orderpriority"))
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("orderpriority")
     )
 
 
@@ -143,7 +142,6 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
-        .orderBy("nation_name")
     )
 
 
@@ -193,7 +191,6 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
             F.count(F.lit(1)).alias("n_lines"),
         )
-        .orderBy("ship_bucket")
     )
 
 
@@ -252,7 +249,6 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "promo_share"
             ),
         )
-        .orderBy("ship_month")
     )
 
 

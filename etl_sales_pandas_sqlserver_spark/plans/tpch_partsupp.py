@@ -117,7 +117,6 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
         .agg(F.sum(profit).cast("double").alias("sum_profit"))
-        .orderBy("nation", F.desc("o_year"))
     )
 
 
@@ -193,7 +192,6 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_partkey").alias("p_partkey"),
             F.col("ps_supplycost").cast("bigint").alias("ps_supplycost"),
         )
-        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
     )
 
 
@@ -248,7 +246,6 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         grp.crossJoin(F.broadcast(total))
         .filter(F.lit(1000) * F.col("value") > F.col("total"))
         .select("ps_partkey", F.col("value").cast("bigint").alias("value"))
-        .orderBy(F.desc("value"), "ps_partkey")
     )
 
 
@@ -302,7 +299,6 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_size").cast("bigint").alias("size"),
         )
         .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "brand", "type", "size")
     )
 
 
@@ -380,7 +376,6 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
         .select(F.col("s_suppkey").alias("s_suppkey"), F.col("s_name").alias("s_name"))
-        .orderBy("s_name")
     )
 
 

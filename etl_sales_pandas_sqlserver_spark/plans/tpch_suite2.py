@@ -111,7 +111,6 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(F.sum(_volume()).cast("double").alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -186,7 +185,6 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(nat_vol).cast("double") / F.sum(vol).cast("double")
             ).alias("mkt_share")
         )
-        .orderBy("o_year")
     )
 
 
@@ -282,7 +280,6 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
 
 
@@ -334,7 +331,6 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_name").alias("supp_name"),
             F.col("total_revenue").cast("double").alias("total_revenue"),
         )
-        .orderBy("suppkey")
     )
 
 
@@ -576,7 +572,6 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         only_late.join(supp, only_late.l_suppkey == supp.s_suppkey)
         .groupBy(F.col("s_name").alias("supp_name"))
         .agg(F.count(F.lit(1)).alias("numwait"))
-        .orderBy(F.col("numwait").desc(), "supp_name")
     )
 
 
@@ -635,7 +630,6 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(_dec2("c_acctbal")).cast("double").alias("totacctbal"),
         )
-        .orderBy("cntrycode")
     )
 
 

@@ -63,7 +63,7 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec6("value")).over(w).cast("double")
             / F.count(F.lit(1)).over(w)
         ).alias("moving_avg"),
-    ).orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -98,7 +98,7 @@ def q_range_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(_dec6("value")).over(w).cast("double").alias("sum_1h"),
-    ).orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -142,7 +142,7 @@ def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.orderBy(F.col("n_events").desc(), "user_id")
     return per_user.withColumn(
         "activity_quartile", F.ntile(4).over(wq)
-    ).orderBy("user_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +194,6 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("revenue"),
         )
-        .orderBy("grp", "nation_name", "mktsegment")
     )
 
 
@@ -231,7 +230,7 @@ def q_relative_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("acctbal"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume_dist"),
-    ).orderBy("c_custkey")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -270,7 +269,7 @@ def q_distinct_types_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.collect_list("event_type").over(w)))
         .cast("bigint")
         .alias("n_types_1h"),
-    ).orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -379,7 +378,6 @@ def q_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("sum_price"),
         )
-        .orderBy("decile")
     )
 
 
@@ -418,7 +416,7 @@ def q_distinct_types_1h_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk=_CHUNK_US,
         out_col="n_types_1h",
     )
-    return out.select("event_id", "user_id", "n_types_1h").orderBy("event_id")
+    return out.select("event_id", "user_id", "n_types_1h")
 
 
 # Skew-aware routing twin: hot keys through the chunked rewrite, cold
@@ -454,7 +452,7 @@ def q_distinct_types_1h_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="n_types_1h",
         hot_threshold=_HYBRID_HOT_THRESHOLD,
     )
-    return out.select("event_id", "user_id", "n_types_1h").orderBy("event_id")
+    return out.select("event_id", "user_id", "n_types_1h")
 
 
 WINDOW_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {

@@ -165,7 +165,7 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~1.2k (hour, type) groups and cut serialized local store opens
     with shuffle_partitions(spark, 8):
         out = _run_to_table(spark, agg, "complete")
-    return out.orderBy("hour_bucket", "event_type")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -277,7 +277,6 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_sessions").alias("n_sessions"),
             F.max("n_events").alias("n_events"),
         )
-        .orderBy("user_id")
     )
 
 
@@ -309,7 +308,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stores scale with executors; locally 8 cover the keyspace fine.
     with shuffle_partitions(spark, 8):
         out = _run_to_table(spark, deduped, "append")
-    return out.orderBy("user_id", "event_type")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -361,7 +360,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with shuffle_partitions(spark, 8):
         out = _run_to_table(spark, agg, "complete")
-    return out.orderBy("win_start", "event_type")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -421,7 +420,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the stream still keeps state -- size its stores like the rest
     with shuffle_partitions(spark, 8):
         out = _run_to_table(spark, agg, "complete")
-    return out.orderBy("nation_name")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -478,7 +477,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "view_us", "purchase_us")
     with shuffle_partitions(spark, 8):
         out = _run_to_table(spark, joined, "append")
-    return out.orderBy("user_id", "view_us", "purchase_us")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -558,7 +557,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with shuffle_partitions(spark, 8):
         out = _run_to_table(spark, agg, "complete")
-    return out.orderBy("user_id", "session_start_us")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -617,7 +616,6 @@ def q_stream_topk_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _STREAM_TOPK_K)
-        .orderBy("hour_bucket", "rn")
     )
 
 
@@ -699,7 +697,6 @@ def q_stream_sketch_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type", "day_bucket", "exact_users", est_ok.alias("est_ok")
         )
-        .orderBy("event_type", "day_bucket")
     )
 
 
@@ -842,7 +839,7 @@ def q_stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id long, last_event_id long, last_ts_us long, "
             "last_type string",
         )
-    return spark.read.parquet(target).select(*_UPSERT_COLS).orderBy("user_id")
+    return spark.read.parquet(target).select(*_UPSERT_COLS)
 
 
 # ---------------------------------------------------------------------------
@@ -896,7 +893,7 @@ def q_stream_card_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
-    return _run_to_table(spark, agg, "complete").orderBy("source")
+    return _run_to_table(spark, agg, "complete")
 
 
 QUERIES_EXPORT: dict[str, tuple[SparkQuery, str | None]] = {
