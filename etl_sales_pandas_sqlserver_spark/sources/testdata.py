@@ -28,22 +28,55 @@ explicit non-goal.
 
 from __future__ import annotations
 
+import os
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import TESTDATA_TABLES
+
+#: Per-session memo of the VERIFIED read schema (a StructType — never
+#: data, never results, never a plan). Every ``spark.read.parquet``
+#: call runs footer-based schema inference in the JVM (~50-300 ms of
+#: driver work), and a suite sweep constructs hundreds of
+#: ``load_table`` plans per session, so re-inferring the identical
+#: schema per query was a measurable slice of every query's wall time
+#: (guide §7.3: planning/metadata is single-threaded driver work).
+#: The memo stores the schema the first (inferring + column-verified)
+#: read produced; later calls build a FRESH reader with that schema —
+#: a fresh plan with fresh expression ids, so self-joins of two
+#: ``load_table`` results stay unambiguous, and each execution still
+#: scans the parquet from disk. Keyed by (sf_dir, table, file
+#: mtime+size) so a same-session rewrite of the parquet (fixture-
+#: mutating tests, scale smokes) misses the memo and re-verifies, and
+#: weak-keyed by the session object so a new session — every driver /
+#: bench process — re-infers from the files.
+_SCHEMA_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table: {name!r}")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (sf_dir, name, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # missing file: fall through and let spark.read raise its
+        # usual error (no memo entry for a nonexistent path)
+        key = None
+    per = _SCHEMA_MEMO.setdefault(spark, {})
+    if key is not None and key in per:
+        return spark.read.schema(per[key]).parquet(path)
     df = spark.read.parquet(path)
     expected = {f.name for f in TESTDATA_TABLES[name].fields}
     got = set(df.columns)
     if not expected.issubset(got):
         raise ValueError(f"{name}: missing columns {sorted(expected - got)}")
     if name == "events":
-        return spark.read.schema(TESTDATA_TABLES[name]).parquet(path)
+        df = spark.read.schema(TESTDATA_TABLES[name]).parquet(path)
+    if key is not None:
+        per[key] = df.schema
     return df
 
 
