@@ -868,38 +868,40 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-majority via plain bit sums: bit j set <=> 2*sum_j > n, the
     # same predicate as the oracle's sum(+-1) > 0 spelling but with
     # branch-free aggregates (halves the codegen'd expression size)
+    # the 64 bit sums, the 64-term majority fold and the band array are
+    # built as SQL STRINGS and handed to the JVM in a handful of calls:
+    # the previous per-bit Column loops created ~700 JVM expression
+    # objects one py4j round trip at a time, which dominated the
+    # query's CONSTRUCTION wall (driver-side, guide §7.3) — the
+    # resulting expressions are identical, only their assembly changed
     bit_sums = [
-        F.sum(F.shiftright("h", j).bitwiseAND(F.lit(1))).alias(f"c{j}")
+        F.expr(f"sum(shiftright(h, {j}) & 1) AS c{j}")
         for j in range(_SIMHASH_BITS)
     ]
     bitsum = hashed.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("nfeat"), *bit_sums
     )
-    simhash = None
-    for j in range(_SIMHASH_BITS):
-        term = F.when(
-            F.col(f"c{j}") * 2 > F.col("nfeat"), F.lit(1 << j)
-        ).otherwise(F.lit(0))
-        simhash = term if simhash is None else simhash + term
+    simhash_sql = " + ".join(
+        f"(CASE WHEN c{j} * 2 > nfeat THEN {1 << j}L ELSE 0L END)"
+        for j in range(_SIMHASH_BITS)
+    )
     # one row per doc; NOT cached -- the band self-join's two branches
     # are byte-identical subplans, so Spark materializes the shuffle
     # once and reads it twice (ReusedExchange; pinned by
     # tests/test_plan_shapes.py). Explicit caching here cost ~2s per
     # bench run in re-materialization without saving any work.
-    sig = bitsum.select("doc_id", simhash.cast("long").alias("simhash"))
+    sig = bitsum.selectExpr(
+        "doc_id", f"CAST({simhash_sql} AS BIGINT) AS simhash"
+    )
 
     bits_per_band = _SIMHASH_BITS // _SIMHASH_BANDS
     mask = (1 << bits_per_band) - 1
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.shiftright("simhash", bi * bits_per_band)
-                .bitwiseAND(F.lit(mask))
-                .alias("val"),
-            )
+    bands = F.expr(
+        "array(" + ", ".join(
+            f"named_struct('band', {bi}, "
+            f"'val', shiftright(simhash, {bi * bits_per_band}) & {mask})"
             for bi in range(_SIMHASH_BANDS)
-        ]
+        ) + ")"
     )
     banded = sig.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
         "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val")
