@@ -24,8 +24,10 @@ rule on both engines, shared with the whole curriculum family.
 Three queries:
 
 - ``pack_by_curriculum_stage``: the per-sequence manifest
-  (stage, seq_id → doc/token counts, doc-id span) in training order
-  (easy stage 2 first) — what the loader's shard reader consumes.
+  (stage, seq_id → doc/token counts, doc-id span) — what the loader's
+  shard reader consumes. The manifest rows are UNORDERED (r17: the
+  presentation sort was dropped); training order is reconstructed from
+  (stage DESC, seq_id).
 - ``pack_stage_fill_summary``: per stage, sequence count, doc/token
   volume, capacity (n_seqs × budget) and the exact-ppm fill ratio —
   the one-line packing-efficiency readout per stage (>1e6 ppm means
@@ -192,8 +194,9 @@ def _seq_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_by_curriculum_stage(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Per-sequence packing manifest, training order (easy stage 2
-    first, then sequence order)."""
+    """Per-sequence packing manifest, unordered; training order (easy
+    stage 2 first, then sequence order) is reconstructed from
+    (stage DESC, seq_id)."""
     return _seq_manifest(spark, sf_dir)
 
 

@@ -59,8 +59,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown testdata table: {name!r}")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     try:
+        # the (mtime_ns, size) change-detection key is only reliable
+        # for a single regular parquet FILE: a Spark-written parquet
+        # DIRECTORY can have a part file rewritten without the
+        # directory stat changing, so anything else skips the memo and
+        # takes the always-infer path (r17 advice)
         st = os.stat(path)
-        key = (sf_dir, name, st.st_mtime_ns, st.st_size)
+        key = (
+            (sf_dir, name, st.st_mtime_ns, st.st_size)
+            if os.path.isfile(path)
+            else None
+        )
     except OSError:
         # missing file: fall through and let spark.read raise its
         # usual error (no memo entry for a nonexistent path)
