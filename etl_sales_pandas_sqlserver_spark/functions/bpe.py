@@ -82,19 +82,32 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), WS_CLASS)).alias("w")
     ).filter(F.length("w") >= 2)
+    # Pre-aggregate word OCCURRENCES to the distinct-word VOCABULARY
+    # with a multiplicity before building bigrams (r18, guide §2.3
+    # "aggregate before you shuffle" -- the same Heaps'-law move
+    # bpe_apply_merges already makes): the per-character transform +
+    # explode + substring then run once per DISTINCT word instead of
+    # once per occurrence, and the pair aggregate sums multiplicities.
+    # Exact by distribution: every occurrence of one word contributes
+    # the identical bigram multiset, so sum(m) over distinct words ==
+    # count(*) over occurrences. The added vocab-keyed exchange is
+    # map-side combinable and bounded by vocabulary growth, while the
+    # bigram build shrinks by the corpus word-repetition factor.
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("m"))
     # sequence lower bound == 1 is guaranteed by the length filter
     # (sequence(a, b) with b < a would count DOWN)
-    pairs = words.select(
+    pairs = wc.select(
+        "m",
         F.explode(
             F.expr(
                 "transform(sequence(1, length(w) - 1),"
                 " i -> substring(w, i, 2))"
             )
-        ).alias("pair")
+        ).alias("pair"),
     )
     return (
         pairs.groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("m").alias("n"))
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(_TOPK)
     )
