@@ -810,27 +810,38 @@ def q_corr_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.col("c_mktsegment").alias("segment")
     )
+    # Pre-aggregate the five moments PER ORDER before the joins (r18,
+    # guide §2.3 aggregate-before-shuffle): every lineitem of one order
+    # lands in the same segment, and integer/decimal sums regroup
+    # associatively, so summing (n, sq, sp, sqq, spp, sqp) by
+    # l_orderkey first and re-summing by segment is exact -- verified
+    # bit-identical at sf0.001/0.01/0.1. At scale this cuts the join
+    # input by the lineitems-per-order factor (~4x), and the
+    # groupBy(l_orderkey) exchange doubles as the join-key partitioning
+    # when the planner shuffle-joins orders instead of broadcasting it.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("q").alias("sq0"),
+        F.sum("p").alias("sp0"),
+        # products fit bigint (cents^2 <= ~1e14) but their SUM does
+        # not at scale: accumulate in DECIMAL(38,0), exact like
+        # DuckDB's HUGEINT, and integer->double converts correctly
+        # rounded in both engines
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("sqq0"),
+        F.sum((F.col("p") * F.col("p")).cast("decimal(38,0)")).alias("spp0"),
+        F.sum((F.col("q") * F.col("p")).cast("decimal(38,0)")).alias("sqp0"),
+    )
     m = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("segment")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("q").cast("double").alias("sq"),
-            F.sum("p").cast("double").alias("sp"),
-            # products fit bigint (cents^2 <= ~1e14) but their SUM does
-            # not at scale: accumulate in DECIMAL(38,0), exact like
-            # DuckDB's HUGEINT, and integer->double converts correctly
-            # rounded in both engines
-            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)"))
-            .cast("double")
-            .alias("sqq"),
-            F.sum((F.col("p") * F.col("p")).cast("decimal(38,0)"))
-            .cast("double")
-            .alias("spp"),
-            F.sum((F.col("q") * F.col("p")).cast("decimal(38,0)"))
-            .cast("double")
-            .alias("sqp"),
+            F.sum("n0").alias("n"),
+            F.sum("sq0").cast("double").alias("sq"),
+            F.sum("sp0").cast("double").alias("sp"),
+            F.sum("sqq0").cast("double").alias("sqq"),
+            F.sum("spp0").cast("double").alias("spp"),
+            F.sum("sqp0").cast("double").alias("sqp"),
         )
     )
     n = F.col("n")
@@ -872,11 +883,11 @@ FUZZY_JOIN_SQL = """
 def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     # i = 0..len-1 deletes char i+1; i = len yields the string itself.
-    # The candidate join carries ONLY (custkey, variant-hash) ints --
-    # names ride along broadcast-joined AFTER the int-pair distinct,
-    # which halved the query (6.6s -> 3.3s at sf0.1: the first cut
-    # shuffled two 18-char strings through 1.46M candidate rows).
-    # explode the deletion positions FIRST (sequence+explode is
+    # The candidate join carries ONLY (custkey, position, variant-hash)
+    # ints -- names ride along broadcast-joined AFTER the int-pair
+    # distinct, which halved the query (6.6s -> 3.3s at sf0.1: the
+    # first cut shuffled two 18-char strings through 1.46M candidate
+    # rows). explode the deletion positions FIRST (sequence+explode is
     # native) so the variant build + hash run as codegen'd columns; a
     # transform() lambda would evaluate interpreted per variant
     # (round-9 rewrite, same class as the simhash/prefix-filter ones)
@@ -886,6 +897,9 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("sequence(0, length(c_name))")).alias("i"),
     ).select(
         "c_custkey",
+        "i",
+        # i == length marks the identity variant (no char deleted)
+        (F.col("i") == F.length("c_name")).alias("is_self"),
         F.xxhash64(
             F.expr(
                 "concat(substring(c_name, 1, i), "
@@ -893,10 +907,59 @@ def q_fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("vh"),
     )
-    a = variants.select(F.col("c_custkey").alias("a_custkey"), "vh")
-    b = variants.select(F.col("c_custkey").alias("b_custkey"), "vh")
+    # four consumers below (two leg-1 sides, the leg-2 identity and
+    # deletion sides) would each re-run the explode+hash; cache the
+    # narrow int frame once (the _doc_shingles pattern -- measured
+    # ~1.2s at sf0.1, where the single-row-group scan serializes the
+    # variant build on one task)
+    from ..cache import managed_cache
+
+    variants = managed_cache(variants)
+    # POSITION-BLOCKED candidate join (r18, guide §3.2 reduce before
+    # the shuffle; the FastSS deletion-position refinement). Joining on
+    # vh alone put every deletion variant of every name in one bucket
+    # per string value -- 1.46M candidate rows at sf0.1, 956k after
+    # distinct, and names with digit runs generated the same variant at
+    # several positions, inflating the join quadratically. Keying the
+    # join by (i, vh) keeps it COMPLETE for the same-length cases while
+    # cutting candidates ~5x (measured 1.46M -> ~0.2M raw):
+    #   * identical strings share every variant at the same i
+    #     (including i = len);
+    #   * a substitution pair differing at char position t shares the
+    #     deletion variant AT i = t-1 (equal prefixes and suffixes),
+    #     same i on both sides;
+    #   * conversely two same-length names sharing (i, vh) differ only
+    #     at position i+1 -- distance <= 1, so leg 1 admits (almost) no
+    #     false candidates (only 2^-64 hash collisions, which the
+    #     levenshtein verify removes; collisions can only ADD).
+    # The remaining distance-1 case is insert/delete (lengths differ by
+    # one): the longer name minus its inserted char IS the shorter
+    # name, i.e. a deletion variant of the longer side equals the
+    # SHORTER side's identity variant -- but at unrelated i, so leg 2
+    # joins identity variants against all variants on vh alone. That
+    # side is |names| rows vs |names|*len, and cross-length matches are
+    # rare, so leg 2 stays tiny. Union of the two legs is the full
+    # deletion-neighborhood candidate set (the oracle's brute-force
+    # hash compare certifies completeness every round).
+    a = variants.select(F.col("c_custkey").alias("a_custkey"), "i", "vh")
+    b = variants.select(F.col("c_custkey").alias("b_custkey"), "i", "vh")
+    leg1 = a.join(b, ["i", "vh"]).select("a_custkey", "b_custkey")
+    self_a = variants.filter("is_self").select(
+        F.col("c_custkey").alias("a_custkey"), "vh"
+    )
+    del_b = variants.filter("NOT is_self").select(
+        F.col("c_custkey").alias("b_custkey"), "vh"
+    )
+    # identity-vs-deletion in both role assignments: (short=a, long=b)
+    # and (long=a, short=b) -- the a<b filter below needs both
+    leg2 = self_a.join(del_b, "vh").select("a_custkey", "b_custkey")
+    leg2r = leg2.select(
+        F.col("b_custkey").alias("a_custkey"),
+        F.col("a_custkey").alias("b_custkey"),
+    )
     cand = (
-        a.join(b, "vh")
+        leg1.unionByName(leg2)
+        .unionByName(leg2r)
         .filter(F.col("a_custkey") < F.col("b_custkey"))
         .select("a_custkey", "b_custkey")
         .distinct()
