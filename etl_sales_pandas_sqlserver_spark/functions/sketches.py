@@ -196,6 +196,51 @@ CMS_CONTRACT_SQL = f"""
 """
 
 
+def _parse_cms(raw: bytes) -> tuple[tuple[int, ...], "object"]:
+    """Deserialize a Spark ``CountMinSketch`` binary (format V1:
+    big-endian ``int version, long totalCount, int depth, int width``,
+    then ``depth`` longs of per-row hash coefficients, then
+    ``depth x width`` longs of counters) into ``(hashA, table)``.
+    Raises loudly on any layout surprise -- a silent mis-parse would
+    fabricate estimates."""
+    import struct
+
+    import numpy as np
+
+    version, _total, depth, width = struct.unpack(">iqii", raw[:20])
+    if version != 1 or len(raw) != 20 + depth * 8 + depth * width * 8:
+        raise ValueError(
+            f"unexpected CountMinSketch layout: version={version}, "
+            f"depth={depth}, width={width}, len={len(raw)}"
+        )
+    hash_a = struct.unpack(f">{depth}q", raw[20 : 20 + depth * 8])
+    table = (
+        np.frombuffer(raw[20 + depth * 8 :], dtype=">i8")
+        .reshape(depth, width)
+        .astype(np.int64)
+    )
+    return hash_a, table
+
+
+def _cms_estimate(hash_a, table, item: int) -> int:
+    """``estimateCount`` replayed exactly: per row,
+    ``h = hashA[i]*item`` in wrapping 64-bit arithmetic,
+    ``h += h >>> 32``, mask to the 2^31-1 modulus, bucket ``h % width``
+    -- min across rows (bit-identical to the JVM implementation,
+    verified against it over positive and negative items)."""
+    mask = (1 << 64) - 1
+    prime = (1 << 31) - 1
+    depth, width = table.shape
+    best = None
+    for i in range(depth):
+        h = (hash_a[i] * item) & mask
+        h = (h + (h >> 32)) & mask
+        h &= prime
+        v = int(table[i][h % width])
+        best = v if best is None or v < best else best
+    return best
+
+
 def q_cms_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _with_day_bucket(load_table(spark, sf_dir, "events"))
     cms_args = (F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED))
@@ -205,29 +250,45 @@ def q_cms_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     direct = {
-        r.event_type: bytes(r.sk)
+        r.event_type: _parse_cms(bytes(r.sk))
         for r in ev.groupBy("event_type")
         .agg(F.count_min_sketch("user_id", *cms_args).alias("sk"))
         .collect()
     }
-    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
-    merged = {}
+    # Merge and probe the sketches in-process (r18, guide §7.3): the
+    # old spelling shipped every per-day binary through
+    # CountMinSketch.readFrom + mergeInPlace and probed via
+    # estimateCount -- one py4j round trip per call, ~10^3 calls per
+    # execution, which dominated the query's construction wall
+    # (~1.1s). CMS merge is defined as exact per-cell counter addition
+    # of same-shaped tables (that is what mergeInPlace does), and the
+    # estimate replay is bit-identical (_cms_estimate); all sketches
+    # share one (eps, conf, seed) so equal hash coefficients are
+    # asserted, not assumed. Same booleans, zero py4j chatter.
+    merged: dict = {}
     for r in daily:
-        sk = jcms.readFrom(bytes(r.sk))
+        hash_a, table = _parse_cms(bytes(r.sk))
         if r.event_type in merged:
-            merged[r.event_type].mergeInPlace(sk)
+            m_hash, m_table = merged[r.event_type]
+            if m_hash != hash_a:
+                raise ValueError(
+                    "CountMinSketch merge across differing hash "
+                    "coefficients (seed drift?)"
+                )
+            m_table += table
         else:
-            merged[r.event_type] = sk
+            merged[r.event_type] = (hash_a, table)
     probes = []  # (event_type, user_id, merged_est, lossless)
-    for etype, sk in merged.items():
-        d = jcms.readFrom(direct[etype])
+    for etype, (hash_a, table) in merged.items():
+        d_hash, d_table = direct[etype]
         for uid in range(_CMS_PROBE_USERS):
+            est = _cms_estimate(hash_a, table, uid)
             probes.append(
                 (
                     etype,
                     uid,
-                    int(sk.estimateCount(uid)),
-                    int(sk.estimateCount(uid)) == int(d.estimateCount(uid)),
+                    est,
+                    est == _cms_estimate(d_hash, d_table, uid),
                 )
             )
     est_df = spark.createDataFrame(
