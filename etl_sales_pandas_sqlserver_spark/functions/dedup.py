@@ -1416,6 +1416,16 @@ def q_pagerank_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.select(
         F.col("s").alias("v"), F.lit(1_000_000).cast("bigint").alias("p")
     ).localCheckpoint(eager=True)
+    # The iterations CHAIN as one lazy plan (r18): each round is one
+    # join + one aggregate referencing the previous round once, so the
+    # plan grows linearly in _PAGERANK_ITERS and the whole chain
+    # executes as a single job. The old per-iteration eager
+    # localCheckpoint ran one driver-blocking job per round and
+    # materialized every intermediate rank table -- pure overhead for
+    # a 5-deep lineage over the already-checkpointed edge table
+    # (measured 1.27s -> 0.88s at sf0.1; results bit-identical).
+    # Checkpointing stays where it pays: ed/ranks above sever the
+    # expensive minhash lineage that every round re-reads.
     for _ in range(_PAGERANK_ITERS):
         contrib = ed.join(ranks, ed.s == ranks.v).select(
             "d", F.expr("p div outdeg").alias("c")
@@ -1430,7 +1440,6 @@ def q_pagerank_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("p")
             )
-            .localCheckpoint(eager=True)
         )
     return ranks.select(
         F.col("v").alias("doc_id"), F.col("p").alias("rank_ppm")
