@@ -47,22 +47,37 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..cache import managed_cache
 from ..sources.testdata import load_table
 from .intmath import exact_ppm_spark, exact_ppm_sql
 from .rankframe import distinct_score_rank_frame
-from .search import LM_SCORES_CTE, lm_doc_scores
+from .search import LM_SCORES_CTE, lm_doc_scores_for
 from .tokcount import N_TOKENS_SQL, n_tokens_spark
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 
 def _scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, n_tok, lm_score_ppm) for scored docs."""
-    docs = load_table(spark, sf_dir, "documents")
-    return lm_doc_scores(docs).join(
-        docs.select("doc_id", "source", n_tokens_spark().alias("n_tok")),
-        "doc_id",
+    """(doc_id, source, n_tok, lm_score_ppm) for scored docs.
+
+    Session-memoized like the LM score feed it builds on (r18): six
+    queries (curriculum trio, pack trio) consume this exact frame, and
+    the n_tokens split it adds on top of the score feed is itself a
+    full text scan. Four narrow columns per scored doc -- the same
+    footprint class as the score memo."""
+    from ..cache import session_checkpoint_memo
+    from ..source_tags import sf_content_tag
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        return lm_doc_scores_for(spark, sf_dir).join(
+            docs.select("doc_id", "source", n_tokens_spark().alias("n_tok")),
+            "doc_id",
+        )
+
+    return session_checkpoint_memo(
+        spark,
+        ("scored_docs", sf_dir, sf_content_tag(sf_dir, "documents")),
+        build,
     )
 
 
@@ -122,11 +137,11 @@ def _stage_map(scored: DataFrame) -> DataFrame:
 
 
 def q_curriculum_stage_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cache the narrow scored projection: the stage-map build AND the
-    # doc-level join probe both read it — uncached, each re-runs the
-    # full corpus bigram-LM score build (the budget-sampler pattern:
-    # one text scan instead of two)
-    scored = managed_cache(_scored_docs(spark, sf_dir))
+    # the stage-map build AND the doc-level join probe both read the
+    # scored frame; since r18 _scored_docs is already a materialized
+    # session checkpoint, so the old per-query managed_cache wrap is
+    # redundant
+    scored = _scored_docs(spark, sf_dir)
     # equi-join on the integer score; the stage map is <= 1e6+1 rows
     # (no broadcast hint: AQE broadcasts it at any realistic size)
     staged = scored.join(_stage_map(scored), "lm_score_ppm")
@@ -142,8 +157,9 @@ def q_curriculum_stage_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_curriculum_pacing_schedule(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    # same double-read as the stage mix: cache the scored projection
-    scored = managed_cache(_scored_docs(spark, sf_dir))
+    # same double-read as the stage mix: the memoized checkpoint
+    # serves both reads
+    scored = _scored_docs(spark, sf_dir)
     staged = scored.join(_stage_map(scored), "lm_score_ppm")
     per_stage = staged.groupBy("stage").agg(
         F.count(F.lit(1)).alias("n_docs"),

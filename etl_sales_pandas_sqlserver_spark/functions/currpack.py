@@ -163,18 +163,16 @@ def assign_stage_sequences(staged: DataFrame) -> DataFrame:
 
 def _packed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(stage, doc_id, n_tok, seq_id) for every scored document."""
-    # cache the narrow scored projection: the stage-map build AND the
-    # doc-level join probe both read it (curriculum.py:130 pattern —
-    # AQE exchange reuse does not fire across diverging aggregate
-    # subplans, so uncached this would build the corpus bigram-LM
-    # score twice)
-    scored = managed_cache(_scored_docs(spark, sf_dir))
+    # the stage-map build AND the doc-level join probe both read the
+    # scored frame, which since r18 is a materialized session
+    # checkpoint (curriculum._scored_docs) — no per-query cache needed
+    scored = _scored_docs(spark, sf_dir)
     staged = scored.join(_stage_map(scored), "lm_score_ppm").select(
         "stage", "doc_id", "n_tok"
     )
-    # cache the 3-int64-column staged frame too (extend=True keeps the
-    # scored cache alive): the prefix-sum decomposition reads it twice
-    return assign_stage_sequences(managed_cache(staged, extend=True))
+    # cache the 3-int64-column staged frame: the prefix-sum
+    # decomposition reads it twice
+    return assign_stage_sequences(managed_cache(staged))
 
 
 def _seq_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -50,14 +50,15 @@ from pyspark.sql import functions as F
 
 from ..sources.testdata import load_table
 from .rankframe import distinct_score_rank_frame
-from .search import LM_SCORES_CTE, lm_doc_scores
+from .search import LM_SCORES_CTE, lm_doc_scores_for
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 
 def q_lm_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    scores = lm_doc_scores(docs).join(
+    # memoized corpus score feed (see search.lm_doc_scores_for)
+    scores = lm_doc_scores_for(spark, sf_dir).join(
         docs.select("doc_id", "source"), "doc_id"
     )
     framed = distinct_score_rank_frame(scores, ["source"])

@@ -454,9 +454,35 @@ def lm_doc_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+# Memoized corpus score feed (r18, the round-7 pair-feed pattern):
+# EIGHT registered queries start from the corpus bigram-LM score
+# (this ranker, the band-prune, the curriculum trio via _scored_docs,
+# the pack_* trio), and in a serial sweep each rebuilt the full
+# explode + three-join score pipeline independently (~0.7-1s each at
+# sf0.1). The feed is computed once per (live session, sf_dir) via the
+# shared session_checkpoint_memo -- the result is three int64 columns
+# per scored document (|docs| x 24 bytes, far below the shingle memo's
+# footprint), so the pinned blocks are negligible while the recompute
+# was the dominant shared cost of the curriculum/pack families. A
+# rewrite of documents.parquet misses the memo (content tag), and a
+# new session -- every driver/bench process -- recomputes from the
+# parquet. ``lm_doc_scores`` itself stays frame-in/frame-out for
+# arbitrary inputs (tests score synthetic corpora through it).
+
+
+def lm_doc_scores_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..cache import session_checkpoint_memo
+    from ..source_tags import sf_content_tag
+
+    return session_checkpoint_memo(
+        spark,
+        ("lm_doc_scores", sf_dir, sf_content_tag(sf_dir, "documents")),
+        lambda: lm_doc_scores(load_table(spark, sf_dir, "documents")),
+    )
+
+
 def q_lm_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return lm_doc_scores(docs)
+    return lm_doc_scores_for(spark, sf_dir)
 
 
 SEARCH_QUERIES: dict[str, tuple[SparkQuery, str | None]] = {
