@@ -656,6 +656,19 @@ def _minhash_signature(ex: DataFrame) -> DataFrame:
 # SparkSession; see cache.py) -- the result is a few thousand int-pair
 # rows, so the pinned blocks are negligible while the recompute is the
 # dominant cost of the whole dedup family.
+#
+# 100 TB size bound (r18 audit): the checkpoint holds exactly the
+# VERIFIED pair list -- three fixed-width columns (a_id, b_id, jaccard)
+# per pair that actually passes the exact-Jaccard verify, i.e. it is
+# bounded by the true near-duplicate pair count, never by the corpus
+# (shingles, signatures and band tables stream through the pipeline
+# and are not retained). A pathological all-identical corpus makes the
+# pair COUNT itself quadratic, but every downstream consumer
+# (clustering, census, incremental classify) consumes that same pair
+# list either way -- the checkpoint adds no asymptotic cost beyond the
+# result it feeds, and it beats recomputation by construction: one
+# materialization of <= |pairs| x 24 bytes versus 4 re-runs of the
+# corpus-wide shingle -> signature -> band -> verify pipeline.
 
 
 def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
